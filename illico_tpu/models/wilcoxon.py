@@ -1,0 +1,267 @@
+"""Orchestration of the asymptotic Wilcoxon test over gene tiles.
+
+TPU-native analog of the reference's thread-pool driver
+(``/root/reference/illico/asymptotic_wilcoxon.py:177-258``): gene columns are
+processed in contiguous tiles; host threads prefetch and densify tiles
+(the ``DataHandler.fetch`` role, ``registry.py:97-100,162-188``) while the TPU
+computes the previous tile's rank statistics; per-tile summaries are scattered
+into preallocated result arrays.  The thread pool parallelism of the reference
+maps to host-side prefetch + single-device pipelining here, and to gene-axis
+mesh sharding in :mod:`illico_tpu.parallel` for multi-chip runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Literal
+
+import jax
+import numpy as np
+
+from illico_tpu.ops.rank_engine import BLOCK, build_padded_layout, make_tile_fn
+from illico_tpu.stats import fold_change_from_summed_expr, pvalues_from_stats
+from illico_tpu.utils.groups import GroupInfo
+from illico_tpu.utils.log import logger
+from illico_tpu.utils.memory import log_memory_usage
+from illico_tpu.utils.registry import DataHandler
+
+__all__ = ["WilcoxonRunner", "RunResult", "compute_tile_bounds"]
+
+# OVO sentinel values for the reference group's own row, matching the
+# reference sparse kernels (``ovo/sparse_ovo.py:140-143``).
+REF_SENTINEL_P = 1.0
+REF_SENTINEL_U = -1.0
+
+
+@dataclasses.dataclass
+class RunResult:
+    pvalues: np.ndarray      # (n_groups, n_genes) float64
+    statistics: np.ndarray   # (n_groups, n_genes) float64
+    fold_change: np.ndarray  # (n_groups, n_genes) float64
+
+
+def compute_tile_bounds(
+    n_genes: int,
+    batch_size: int | Literal["auto"],
+    n_threads: int,
+) -> tuple[list[tuple[int, int]], int]:
+    """Contiguous column tiles.
+
+    Mirrors the reference's batching policy surface
+    (``asymptotic_wilcoxon.py:212-227``): small inputs collapse to one batch;
+    an integer ``batch_size`` is honored; ``"auto"`` picks a device-efficient
+    tile width (the TPU analog of "~256 genes per thread dispatch").
+    """
+    if n_genes < 256:
+        return [(0, n_genes)], n_genes
+    if batch_size == "auto":
+        width = 512
+    elif isinstance(batch_size, (int, np.integer)):
+        width = max(1, min(int(batch_size), n_genes))
+    else:
+        raise ValueError(
+            f"Invalid batch_size value: {batch_size}. Must be 'auto' or an integer."
+        )
+    bounds = [(lb, min(lb + width, n_genes)) for lb in range(0, n_genes, width)]
+    return bounds, width
+
+
+class WilcoxonRunner:
+    """Configured, precompilable Wilcoxon test over a dataset."""
+
+    def __init__(
+        self,
+        handler: DataHandler,
+        group_info: GroupInfo,
+        *,
+        is_log1p: bool,
+        batch_size: int | Literal["auto"] = "auto",
+        n_threads: int = 1,
+        use_continuity: bool = True,
+        tie_correct: bool = True,
+        alternative: str = "two-sided",
+        device=None,
+    ):
+        self.handler = handler
+        self.info = group_info
+        self.is_log1p = bool(is_log1p)
+        self.use_continuity = use_continuity
+        self.tie_correct = tie_correct
+        self.alternative = alternative
+        self.n_threads = max(1, int(n_threads))
+        self.device = device
+
+        n_cells, n_genes = handler.shape
+        self.n_genes = int(n_genes)
+        self.bounds, self.tile_width = compute_tile_bounds(
+            self.n_genes, batch_size, self.n_threads
+        )
+        logger.trace(
+            "Using tile width %d for %d genes (%d tiles).",
+            self.tile_width, self.n_genes, len(self.bounds),
+        )
+
+        self.layout = build_padded_layout(group_info.perm, group_info.indptr, BLOCK)
+        # Device value dtype: float64 inputs stay float64 (slow emulated path,
+        # exact); everything else runs in float32. Integer counts are exact in
+        # float32 below 2^24, far above any realistic UMI count.
+        in_dtype = np.dtype(handler.dtype)
+        self.value_dtype = np.float64 if in_dtype == np.float64 else np.float32
+        self.tile_fn = make_tile_fn(
+            self.layout,
+            ref_code=group_info.ref_code,
+            is_log1p=self.is_log1p,
+        )
+        self._compiled = None
+
+    # -- compilation ---------------------------------------------------------
+    # Process-wide AOT executable cache: (shapes, dtypes, statics) -> exe.
+    _aot_cache: dict = {}
+
+    def precompile(self) -> None:
+        """AOT-compile the tile function for the run's static shape.
+
+        Analog of the reference's ``_precompile`` (``utils/compile.py:12-62``):
+        pay the JIT cost once, up front, and guarantee the streaming loop
+        triggers zero recompilations.  Executables are cached process-wide by
+        (shape, dtype, statics), the same role as numba's signature-keyed
+        dispatch cache.
+        """
+        spec = jax.ShapeDtypeStruct(
+            (self.layout.n_cells, self.tile_width), self.value_dtype
+        )
+        args = self.tile_fn._layout_args
+        key = (
+            (spec.shape, str(spec.dtype)),
+            tuple((a.shape, str(a.dtype)) for a in args),
+            tuple(sorted(self.tile_fn._statics.items())),
+            str(self.device),
+        )
+        cached = self._aot_cache.get(key)
+        if cached is not None:
+            self._compiled = cached
+            return
+        t0 = time.perf_counter()
+        lowered = self.tile_fn._jitted.lower(
+            spec,
+            *(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args),
+            **self.tile_fn._statics,
+        )
+        self._compiled = lowered.compile()
+        self._aot_cache[key] = self._compiled
+        logger.trace(
+            "Compiled tile kernel (%d, %d) in %.2fs.",
+            self.layout.n_cells, self.tile_width, time.perf_counter() - t0,
+        )
+
+    # -- tile plumbing --------------------------------------------------------
+    def _fetch(self, lb: int, ub: int) -> np.ndarray:
+        tile = self.handler.fetch_tile(lb, ub)
+        if tile.dtype != self.value_dtype:
+            tile = tile.astype(self.value_dtype)
+        if tile.shape[1] < self.tile_width:  # pad last tile's columns
+            pad = np.zeros(
+                (tile.shape[0], self.tile_width - tile.shape[1]), self.value_dtype
+            )
+            tile = np.concatenate([tile, pad], axis=1)
+        return tile
+
+    def _run_tile(self, tile_np: np.ndarray):
+        x = jax.device_put(tile_np, self.device)
+        if self._compiled is not None:
+            return self._compiled(x, *self.tile_fn._layout_args)
+        return self.tile_fn(x)
+
+    # -- main loop ------------------------------------------------------------
+    def run(self, progress: bool = True) -> RunResult:
+        info = self.info
+        G, n_genes = info.n_groups, self.n_genes
+        n_tests = G * n_genes
+        logger.trace("Performing a total of %d tests.", n_tests)
+        log_memory_usage(self.handler, info, self.tile_width, self.n_threads)
+
+        is_ovr = info.is_ovr
+        U = np.empty((G, n_genes), np.float64)
+        tie = np.empty((G, n_genes), np.float64)
+        fc_sums = np.empty((G, n_genes), np.float64)
+
+        pbar = None
+        if progress:
+            try:
+                from tqdm.auto import tqdm
+
+                pbar = tqdm(total=n_tests, smoothing=0.0, unit="it",
+                            unit_scale=True, unit_divisor=1000)
+            except ImportError:
+                pass
+
+        counts = info.counts.astype(np.float64)
+        n_total = float(info.n_cells)
+
+        def consume(lb, ub, out):
+            w = ub - lb
+            if is_ovr:
+                r_tgt = np.asarray(out["R2"])[:, :w] / 2.0
+                n_tgt = counts[:, None]
+                n_ref = n_total - n_tgt
+                U[:, lb:ub] = n_ref * n_tgt + n_tgt * (n_tgt + 1.0) / 2.0 - r_tgt
+                tie[:, lb:ub] = np.asarray(out["tie_col"])[None, :w]
+            else:
+                u_tgt = np.asarray(out["U2"])[:, :w] / 2.0
+                n_ref = counts[info.ref_code]
+                n_tgt = counts[:, None]
+                U[:, lb:ub] = n_ref * n_tgt - u_tgt
+                tie[:, lb:ub] = (
+                    np.asarray(out["tie_ref_col"])[None, :w]
+                    + np.asarray(out["tie_seg"])[:, :w]
+                )
+            fc_sums[:, lb:ub] = np.asarray(out["fc_sums"])[:, :w]
+            if pbar is not None:
+                pbar.update(G * w)
+
+        # Prefetch pipeline: host threads densify tiles ahead of the device.
+        n_prefetch = max(2, self.n_threads)
+        with ThreadPoolExecutor(max_workers=n_prefetch) as pool:
+            futures = {}
+            ahead = min(n_prefetch, len(self.bounds))
+            for i in range(ahead):
+                futures[i] = pool.submit(self._fetch, *self.bounds[i])
+            pending = None  # (lb, ub, device-out) one tile in flight
+            for i, (lb, ub) in enumerate(self.bounds):
+                tile_np = futures.pop(i).result()
+                nxt = i + ahead
+                if nxt < len(self.bounds):
+                    futures[nxt] = pool.submit(self._fetch, *self.bounds[nxt])
+                out = self._run_tile(tile_np)
+                if pending is not None:
+                    plb, pub, pout = pending
+                    consume(plb, pub, jax.device_get(pout))
+                pending = (lb, ub, out)
+            if pending is not None:
+                plb, pub, pout = pending
+                consume(plb, pub, jax.device_get(pout))
+        if pbar is not None:
+            pbar.close()
+
+        # -- float64 statistical tail (host, exact) --------------------------
+        if is_ovr:
+            n_tgt = counts[:, None]
+            n_ref = n_total - n_tgt
+        else:
+            n_tgt = counts[:, None]
+            n_ref = np.full_like(n_tgt, counts[info.ref_code])
+        p = pvalues_from_stats(
+            U, tie, n_ref, n_tgt,
+            use_continuity=self.use_continuity,
+            tie_correct=self.tie_correct,
+            alternative=self.alternative,
+        )
+        fc = fold_change_from_summed_expr(fc_sums, info.counts, info.ref_code)
+        if not is_ovr:
+            p[info.ref_code, :] = REF_SENTINEL_P
+            U[info.ref_code, :] = REF_SENTINEL_U
+            fc[info.ref_code, :] = 1.0
+        return RunResult(pvalues=p, statistics=U, fold_change=fc)

@@ -195,7 +195,8 @@ def rank_stats_tile(
     # --- Assemble the padded, group-contiguous tile -------------------------
     gathered = jnp.take(x_raw, jnp.clip(perm, 0, x_raw.shape[0] - 1), axis=0)
     pad2d = pad_mask[:, None]
-    xp = jnp.where(pad2d, jnp.inf, gathered).astype(jnp.float32)
+    # Pad sentinels sort to the end of every column (values must be finite).
+    xp = jnp.where(pad2d, jnp.asarray(jnp.inf, gathered.dtype), gathered)
 
     out = {}
 
@@ -269,24 +270,29 @@ def rank_stats_tile(
     return out
 
 
+# Single process-wide jit cache: every runner with the same shapes and static
+# flags reuses one executable (the reference avoids redundant numba compiles
+# the same way via its signature-keyed dispatcher, ``utils/compile.py:14-17``).
+_jitted_rank_stats = jax.jit(
+    rank_stats_tile, static_argnames=("ref_code", "is_log1p", "compute_fc")
+)
+
+
 def make_tile_fn(layout: PaddedLayout, *, ref_code: int, is_log1p: bool, compute_fc: bool = True):
-    """Return a jitted tile function with the layout baked in as device arrays."""
-    kernel = functools.partial(
-        rank_stats_tile,
-        ref_code=int(ref_code),
-        is_log1p=bool(is_log1p),
-        compute_fc=compute_fc,
-    )
-    jitted = jax.jit(kernel, static_argnames=())
+    """Return a tile function with the layout baked in as device arrays."""
     perm = jnp.asarray(layout.perm)
     grp = jnp.asarray(layout.grp)
     pad_mask = jnp.asarray(layout.pad_mask)
     bs = jnp.asarray(layout.block_starts)
     be = jnp.asarray(layout.block_ends)
+    statics = dict(
+        ref_code=int(ref_code), is_log1p=bool(is_log1p), compute_fc=compute_fc
+    )
 
     def run(x_raw):
-        return jitted(x_raw, perm, grp, pad_mask, bs, be)
+        return _jitted_rank_stats(x_raw, perm, grp, pad_mask, bs, be, **statics)
 
-    run._jitted = jitted
+    run._jitted = _jitted_rank_stats
     run._layout_args = (perm, grp, pad_mask, bs, be)
+    run._statics = statics
     return run

@@ -1,0 +1,255 @@
+"""Input-format dispatch: data handlers and their registry.
+
+TPU-native analog of the reference registry
+(``/root/reference/illico/utils/registry.py:46-188``).  The design inverts the
+reference's kernel matrix: instead of six format-specialized kernels, every
+handler produces *dense gene tiles* ``(n_cells, tile_width)`` in original row
+order, and a single device engine consumes them (sparsity and zeros are
+handled analytically by the tie algebra — zeros are just a large tie block).
+What stays per-format is the host-side tile extraction, which is where CSR
+column windowing, CSC slicing and HDF5 streaming live.
+
+Registered handlers (parity with ``registry.py:103-188``):
+  np.ndarray, scipy CSR, scipy CSC, h5py.Dataset (backed dense),
+  backed CSC (anndata ``_CSCDataset`` when anndata is installed, plus this
+  package's own :class:`illico_tpu.io.h5ad.BackedCSC`).
+Backed CSR is rejected with the same error contract (``registry.py:54-58``).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+from scipy import sparse as sp
+
+__all__ = ["DataHandler", "data_handler_registry", "DataHandlerRegistry"]
+
+
+class DataHandlerRegistry(dict):
+    """type(X) -> DataHandler factory."""
+
+    def register(self, data_type):
+        def decorator(cls):
+            self[data_type] = cls
+            return cls
+
+        return decorator
+
+    def get(self, X) -> "DataHandler":
+        try:
+            factory = self[type(X)]
+        except KeyError as e:
+            raise KeyError(
+                f"Support for data type {type(X)} is not implemented."
+            ) from e
+        return factory(X)
+
+
+data_handler_registry = DataHandlerRegistry()
+
+
+class DataHandler(ABC):
+    """Produces dense gene tiles from an expression matrix."""
+
+    def __init__(self, data):
+        self.data = data
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return tuple(self.data.shape)
+
+    @property
+    @abstractmethod
+    def dtype(self) -> np.dtype:
+        """Element dtype of the expression values."""
+
+    @abstractmethod
+    def fetch_tile(self, lb: int, ub: int) -> np.ndarray:
+        """Dense (n_cells, ub - lb) tile of columns [lb, ub), original row order."""
+
+    @abstractmethod
+    def footprint(self) -> int:
+        """Bytes needed to hold the full matrix in RAM (memory estimator input)."""
+
+    def tile_footprint(self, width: int) -> int:
+        """Host bytes materialized per tile of ``width`` columns."""
+        return int(self.shape[0]) * width * np.dtype(self.dtype).itemsize
+
+    def validate(self) -> None:
+        """Input invariant checks; raise ValueError on violation."""
+
+
+@data_handler_registry.register(np.ndarray)
+class DenseDataHandler(DataHandler):
+    """In-RAM dense matrix (``registry.py:103-119`` role)."""
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def fetch_tile(self, lb, ub):
+        return np.ascontiguousarray(self.data[:, lb:ub])
+
+    def footprint(self):
+        return self.data.nbytes
+
+
+@data_handler_registry.register(sp.csr_matrix)
+class CSRDataHandler(DataHandler):
+    """In-RAM CSR (``registry.py:122-139`` role).
+
+    Column windowing relies on sorted indices per row (binary search inside
+    scipy's C slicing — the same optimization as the reference's
+    ``csr_get_contig_cols_into_csc``, ``utils/sparse/csr.py:144-196``), hence
+    the sorted-indices validation (``asymptotic_wilcoxon.py:186-193``).
+    """
+
+    @property
+    def dtype(self):
+        return self.data.data.dtype
+
+    def fetch_tile(self, lb, ub):
+        out = np.zeros((self.data.shape[0], ub - lb), dtype=self.dtype)
+        sub = self.data[:, lb:ub]
+        # densify via CSC for cheap column-major fill
+        sub.tocsc().toarray(out=out)
+        return out
+
+    def footprint(self):
+        d = self.data
+        return d.data.nbytes + d.indices.nbytes + d.indptr.nbytes
+
+    def validate(self):
+        indices, indptr = self.data.indices, self.data.indptr
+        if indices.size:
+            d = np.diff(indices)
+            row_starts = indptr[1:-1]  # positions where a new row begins
+            bad = d < 0
+            bad[row_starts - 1] = False  # drops across row boundaries are fine
+            if bad.any():
+                raise ValueError(
+                    "Input data matrix indices are not sorted. This is very "
+                    "unusual and may lead to incorrect results. This can be the "
+                    "result of operations like `adata[:, np.random.choice(…)]` "
+                    "that do not preserve sorting. Please make sure that indices "
+                    "used to chunk the adata or the expression matrix have been "
+                    "sorted prior to computing DE genes."
+                )
+
+
+@data_handler_registry.register(sp.csc_matrix)
+class CSCDataHandler(DataHandler):
+    """In-RAM CSC (``registry.py:142-159`` role)."""
+
+    @property
+    def dtype(self):
+        return self.data.data.dtype
+
+    def fetch_tile(self, lb, ub):
+        return self.data[:, lb:ub].toarray()
+
+    def footprint(self):
+        d = self.data
+        return d.data.nbytes + d.indices.nbytes + d.indptr.nbytes
+
+
+def _register_h5py():
+    try:
+        import h5py
+    except ImportError:  # pragma: no cover - h5py is a soft dependency
+        return
+
+    @data_handler_registry.register(h5py.Dataset)
+    class H5pyDatasetDataHandler(DataHandler):
+        """Backed dense matrix: stream column windows from disk
+        (``registry.py:162-168`` role)."""
+
+        @property
+        def dtype(self):
+            return self.data.dtype
+
+        def fetch_tile(self, lb, ub):
+            return np.asarray(self.data[:, lb:ub])
+
+        def footprint(self):
+            return int(np.prod(self.data.shape)) * self.data.dtype.itemsize
+
+
+_register_h5py()
+
+
+class _BackedCSCHandlerBase(DataHandler):
+    """Backed CSC: stream column windows from h5ad storage
+    (``registry.py:171-188`` role).  Heap stays O(tile), never O(matrix)."""
+
+    @property
+    def dtype(self):
+        return self._data_dtype()
+
+    def _data_dtype(self):
+        raise NotImplementedError
+
+    def fetch_tile(self, lb, ub):
+        return self._slice_columns(lb, ub)
+
+    def _slice_columns(self, lb, ub):
+        raise NotImplementedError
+
+
+def _register_backed_csc():
+    # This package's own lazy CSC (no anndata needed).
+    from illico_tpu.io.h5ad import BackedCSC
+
+    @data_handler_registry.register(BackedCSC)
+    class IllicoBackedCSCHandler(_BackedCSCHandlerBase):
+        def _data_dtype(self):
+            return self.data.dtype
+
+        def _slice_columns(self, lb, ub):
+            return self.data.densify_columns(lb, ub)
+
+        def footprint(self):
+            return self.data.nbytes
+
+    try:
+        from anndata._core import sparse_dataset as _sd
+    except ImportError:
+        return
+
+    @data_handler_registry.register(_sd._CSCDataset)
+    class AnnDataBackedCSCHandler(_BackedCSCHandlerBase):
+        def _data_dtype(self):
+            return self.data.dtype
+
+        def _slice_columns(self, lb, ub):
+            return self.data[:, lb:ub].toarray()
+
+        def footprint(self):
+            d = self.data
+            return (
+                d._data.dtype.itemsize * d._data.shape[0]
+                + d._indices.dtype.itemsize * d._indices.shape[0]
+                + d._indptr.nbytes
+            )
+
+
+def _register_scipy_array_variants():
+    """scipy >=1.8 sparse *array* classes get the same handlers."""
+    try:
+        data_handler_registry[sp.csr_array] = data_handler_registry[sp.csr_matrix]
+        data_handler_registry[sp.csc_array] = data_handler_registry[sp.csc_matrix]
+    except AttributeError:  # very old scipy
+        pass
+
+
+_register_scipy_array_variants()
+_BACKED_REGISTERED = False
+
+
+def ensure_backed_handlers():
+    """Register lazy/backed handlers (deferred to avoid import cycles)."""
+    global _BACKED_REGISTERED
+    if not _BACKED_REGISTERED:
+        _register_backed_csc()
+        _BACKED_REGISTERED = True

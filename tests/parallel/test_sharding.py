@@ -1,0 +1,57 @@
+"""Multi-device sharding tests on a virtual 8-device CPU mesh.
+
+The analog of the reference testing its thread parallelism in-process
+(SURVEY §4): correctness of the gene-sharded kernel must be independent of
+the mesh size.
+"""
+
+import jax
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from illico_tpu.ops.rank_engine import build_padded_layout, make_tile_fn
+from illico_tpu.parallel.mesh import make_gene_mesh, make_sharded_tile_fn
+from illico_tpu.utils.groups import encode_and_count_groups
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(0)
+    n, t, g = 2000, 64, 6
+    x = rng.poisson(2.0, (n, t)).astype(np.float32)
+    x[rng.rand(n, t) < 0.5] = 0
+    labels = rng.randint(0, g, n)
+    return x, labels
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.parametrize("test", ["ovr", "ovo"])
+def test_sharded_matches_single_device(problem, test, n_devices):
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    x, labels = problem
+    ref = 0 if test == "ovo" else None
+    _, info = encode_and_count_groups(labels, ref)
+    layout = build_padded_layout(info.perm, info.indptr)
+
+    single = make_tile_fn(layout, ref_code=info.ref_code, is_log1p=False)
+    expected = {k: np.asarray(v) for k, v in single(jnp.asarray(x)).items()}
+
+    mesh = make_gene_mesh(n_devices)
+    fn = make_sharded_tile_fn(layout, mesh, ref_code=info.ref_code, is_log1p=False)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "genes")))
+    got = {k: np.asarray(v) for k, v in fn(xs).items()}
+
+    assert set(got) == set(expected)
+    for k in expected:
+        np.testing.assert_array_equal(got[k], expected[k])
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,195 @@
+"""End-to-end parity suite versus scipy.stats.mannwhitneyu.
+
+Mirrors the reference's oracle strategy
+(``/root/reference/tests/test_asymptotic_wilcoxon.py:111-194``): U statistics
+must match scipy exactly (atol=0, rtol=0), p-values to rtol=1e-12, fold change
+to rtol=1e-6, and inputs must be left unmodified.  The scipy oracle is fed
+float64 data (scipy >= 1.17 computes the asymptotic tail in the input dtype;
+the contract is defined against float64 evaluation).
+"""
+
+import contextlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse as py_sparse
+from scipy.stats import mannwhitneyu
+
+from illico_tpu import asymptotic_wilcoxon
+from illico_tpu.io.h5ad import BackedCSR
+
+ATOL = 0.0
+RTOL = 1.0e-12
+
+
+def scipy_mannwhitneyu(adata, groupby_key, reference, use_continuity, alternative, is_log1p=False):
+    results = []
+    obs_groups = np.asarray(adata.obs[groupby_key])
+    X = adata.X
+    if hasattr(X, "toarray"):
+        X = X.toarray()
+    X = np.asarray(X).astype(np.float64)
+    if reference is not None:
+        ref_counts = X[obs_groups == reference]
+    for pert in pd.unique(obs_groups):
+        if pert == reference:
+            continue
+        mask = obs_groups == pert
+        grp_counts = X[mask]
+        if reference is None:
+            ref_counts = X[~mask]
+        if is_log1p:
+            grp_counts = np.expm1(grp_counts)
+            ref_counts = np.expm1(ref_counts)
+        fc = grp_counts.mean(axis=0) / ref_counts.mean(axis=0)
+        stats, pvals = mannwhitneyu(
+            ref_counts, grp_counts, axis=0, method="asymptotic",
+            use_continuity=use_continuity, alternative=alternative,
+        )
+        results.append(
+            pd.DataFrame({
+                "p_value": pvals, "statistic": stats, "fold_change": fc,
+                "target": pert, "feature": adata.var_names,
+            })
+        )
+    return pd.concat(results, axis=0).set_index(["target", "feature"])
+
+
+@pytest.mark.parametrize("alternative", ["two-sided", "less", "greater"])
+@pytest.mark.parametrize("tie_correct", [True, False], ids=["tie-correct", "no-tie-correct"])
+@pytest.mark.parametrize("use_continuity", [True, False])
+@pytest.mark.parametrize("test", ["ovo", "ovr"])
+def test_asymptotic_wilcoxon(rand_adata, test, use_continuity, tie_correct, alternative):
+    if not rand_adata.isbacked:
+        cached = rand_adata.copy()
+
+    reference = rand_adata.obs.pert.iloc[0] if test == "ovo" else None
+
+    # Backed CSR is unsupported — same error contract as the reference.
+    if isinstance(rand_adata.X, BackedCSR):
+        ctx = pytest.raises(KeyError, match="is not implemented")
+        should_raise = True
+    else:
+        ctx = contextlib.nullcontext()
+        should_raise = False
+
+    with ctx:
+        asy_results = asymptotic_wilcoxon(
+            adata=rand_adata,
+            is_log1p=False,
+            group_keys="pert",
+            reference=reference,
+            use_continuity=use_continuity,
+            tie_correct=tie_correct,
+            n_threads=1,
+            batch_size=16,
+            alternative=alternative,
+            progress=False,
+        )
+    if should_raise:
+        return
+
+    if not tie_correct:
+        pytest.skip("scipy does not expose tie correction toggling.")
+
+    scipy_results = scipy_mannwhitneyu(
+        adata=rand_adata,
+        groupby_key="pert",
+        reference=reference,
+        is_log1p=False,
+        use_continuity=use_continuity,
+        alternative=alternative,
+    )
+
+    got = asy_results.loc[scipy_results.index]
+    np.testing.assert_allclose(
+        got.statistic.values, scipy_results.statistic.values, atol=0.0, rtol=0.0
+    )
+    np.testing.assert_allclose(
+        got.p_value.values, scipy_results.p_value.values, atol=ATOL, rtol=RTOL
+    )
+    np.testing.assert_allclose(
+        got.fold_change.values, scipy_results.fold_change.values, atol=0.0, rtol=1e-6
+    )
+
+    if not rand_adata.isbacked:
+        # In-place device staging must not leak back into user data.
+        pd.testing.assert_frame_equal(rand_adata.obs, cached.obs)
+        pd.testing.assert_frame_equal(rand_adata.var, cached.var)
+        if isinstance(rand_adata.X, np.ndarray):
+            np.testing.assert_array_equal(rand_adata.X, cached.X)
+        else:
+            np.testing.assert_array_equal(
+                rand_adata.X.toarray(), cached.X.toarray()
+            )
+
+
+def test_is_log1p_fold_change(eager_rand_adata):
+    """expm1 transform applied to fold-change means when is_log1p=True."""
+    adata = eager_rand_adata
+    X = adata.X if isinstance(adata.X, np.ndarray) else adata.X.toarray()
+    adata_log = type(adata)(
+        np.log1p(X).astype(np.float32), adata.obs.copy(), adata.var.copy()
+    ) if isinstance(adata.X, np.ndarray) else None
+    if adata_log is None:
+        pytest.skip("dense only")
+    res = asymptotic_wilcoxon(
+        adata_log, is_log1p=True, group_keys="pert", reference=None,
+        batch_size=16, progress=False,
+    )
+    # Oracle: means of expm1(log1p(x)) per group vs rest.
+    obs_groups = np.asarray(adata.obs["pert"])
+    expm1X = np.expm1(np.log1p(X.astype(np.float64)).astype(np.float32).astype(np.float64))
+    for pert in pd.unique(obs_groups)[:2]:
+        mask = obs_groups == pert
+        fc = expm1X[mask].mean(0) / expm1X[~mask].mean(0)
+        got = res.loc[pert].fold_change.values
+        np.testing.assert_allclose(got, fc, rtol=1e-6)
+
+
+def test_unsorted_indices_error(eager_rand_adata):
+    """ValueError when CSR indices are unsorted (``asymptotic_wilcoxon.py:186-193``)."""
+    if not isinstance(eager_rand_adata.X, py_sparse.csr_matrix):
+        pytest.skip("Test only relevant for CSR matrices.")
+    eager_rand_adata.X.indices[:] = eager_rand_adata.X.indices[::-1]
+    with pytest.raises(ValueError):
+        asymptotic_wilcoxon(
+            adata=eager_rand_adata, is_log1p=False, group_keys="pert",
+            reference="pert_0", n_threads=1, batch_size=16, progress=False,
+        )
+
+
+def test_missing_reference_error(eager_rand_adata):
+    with pytest.raises(ValueError, match="not present"):
+        asymptotic_wilcoxon(
+            adata=eager_rand_adata, is_log1p=False, group_keys="pert",
+            reference="no-such-group", progress=False,
+        )
+
+
+def test_invalid_batch_size(eager_rand_adata):
+    # n_genes < 256 collapses to a single batch, so use the bounds helper.
+    from illico_tpu.models.wilcoxon import compute_tile_bounds
+
+    with pytest.raises(ValueError, match="Invalid batch_size"):
+        compute_tile_bounds(1000, "bogus", 1)
+
+
+def test_arrays_api():
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    rng = np.random.RandomState(1)
+    X = rng.poisson(2.0, (500, 7)).astype(np.float32)
+    groups = rng.choice(["a", "b", "c"], 500)
+    res = asymptotic_wilcoxon_arrays(X, groups, reference="a", progress=False)
+    assert res.shape == (3 * 7, 3)
+    st, pv = mannwhitneyu(
+        X[groups == "a"].astype(np.float64), X[groups == "b"].astype(np.float64),
+        axis=0, method="asymptotic",
+    )
+    np.testing.assert_array_equal(res.loc["b"].statistic.values, st)
+    np.testing.assert_allclose(res.loc["b"].p_value.values, pv, rtol=1e-12, atol=0)
+    # sentinel row for the reference group
+    assert (res.loc["a"].p_value == 1.0).all()
+    assert (res.loc["a"].statistic == -1.0).all()

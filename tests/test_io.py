@@ -1,0 +1,84 @@
+"""h5ad IO round-trip and backed-streaming tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse
+
+from illico_tpu.io.h5ad import AnnDataLite, BackedCSC, BackedCSR, read_h5ad
+from illico_tpu.utils.registry import data_handler_registry, ensure_backed_handlers
+
+
+def _adata(fmt, n=300, t=20):
+    rng = np.random.RandomState(0)
+    dense = rng.poisson(1.5, (n, t)).astype(np.float32)
+    dense[rng.rand(n, t) < 0.5] = 0
+    X = {"dense": dense,
+         "csc": sparse.csc_matrix(dense),
+         "csr": sparse.csr_matrix(dense)}[fmt]
+    obs = pd.DataFrame({
+        "pert": pd.Categorical([f"p{v}" for v in rng.randint(0, 4, n)]),
+        "score": rng.rand(n).astype(np.float64),
+        "name": [f"cell{i}" for i in range(n)],
+    })
+    var = pd.DataFrame(index=[f"gene_{i}" for i in range(t)])
+    return AnnDataLite(X, obs, var), dense
+
+
+@pytest.mark.parametrize("fmt", ["dense", "csc", "csr"])
+def test_h5ad_roundtrip_eager(fmt, tmp_path):
+    adata, dense = _adata(fmt)
+    path = tmp_path / "x.h5ad"
+    adata.write_h5ad(path)
+    back = read_h5ad(path)
+    X = back.X if isinstance(back.X, np.ndarray) else back.X.toarray()
+    np.testing.assert_array_equal(X, dense)
+    assert list(back.obs.columns) == ["pert", "score", "name"]
+    assert (np.asarray(back.obs["pert"]) == np.asarray(adata.obs["pert"])).all()
+    np.testing.assert_allclose(back.obs["score"], adata.obs["score"])
+    assert list(back.var_names) == list(adata.var_names)
+    assert not back.isbacked
+
+
+@pytest.mark.parametrize("fmt", ["dense", "csc", "csr"])
+def test_h5ad_backed_read(fmt, tmp_path):
+    adata, dense = _adata(fmt)
+    path = tmp_path / "x.h5ad"
+    adata.write_h5ad(path)
+    back = read_h5ad(path, backed="r")
+    assert back.isbacked
+    if fmt == "csr":
+        assert isinstance(back.X, BackedCSR)
+        ensure_backed_handlers()
+        with pytest.raises(KeyError, match="is not implemented"):
+            data_handler_registry.get(back.X)
+        return
+    if fmt == "csc":
+        assert isinstance(back.X, BackedCSC)
+        np.testing.assert_array_equal(back.X.densify_columns(3, 9), dense[:, 3:9])
+    else:
+        np.testing.assert_array_equal(np.asarray(back.X[:, 3:9]), dense[:, 3:9])
+    # handler streams tiles correctly
+    ensure_backed_handlers()
+    handler = data_handler_registry.get(back.X)
+    np.testing.assert_array_equal(handler.fetch_tile(0, 7), dense[:, :7])
+    np.testing.assert_array_equal(handler.fetch_tile(15, 20), dense[:, 15:20])
+
+
+def test_handler_tiles_match_across_formats():
+    adata, dense = _adata("dense")
+    for X in [dense, sparse.csr_matrix(dense), sparse.csc_matrix(dense)]:
+        h = data_handler_registry.get(X)
+        np.testing.assert_array_equal(h.fetch_tile(2, 11), dense[:, 2:11])
+        assert h.footprint() > 0
+
+
+def test_unknown_type_keyerror():
+    with pytest.raises(KeyError, match="is not implemented"):
+        data_handler_registry.get([1, 2, 3])
+
+
+def test_adata_shape_validation():
+    X = np.zeros((5, 3), np.float32)
+    with pytest.raises(ValueError, match="obs has"):
+        AnnDataLite(X, obs=pd.DataFrame({"a": [1, 2]}))

@@ -1,0 +1,70 @@
+"""Statistical tail tests vs scipy (reference contract: ``illico/utils/math.py:64-118``)."""
+
+import numpy as np
+import pytest
+from scipy.stats import mannwhitneyu
+
+from illico_tpu.stats import fold_change_from_summed_expr, pvalues_from_stats
+
+
+@pytest.mark.parametrize("alternative", ["two-sided", "greater", "less"])
+@pytest.mark.parametrize("use_continuity", [True, False])
+def test_pvalues_match_scipy(alternative, use_continuity):
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        a = rng.randint(0, 8, rng.randint(5, 60)).astype(np.float64)
+        b = rng.randint(0, 8, rng.randint(5, 60)).astype(np.float64)
+        u_scipy, p_scipy = mannwhitneyu(
+            a, b, method="asymptotic", use_continuity=use_continuity,
+            alternative=alternative,
+        )
+        combined = np.concatenate([a, b])
+        _, cnt = np.unique(combined, return_counts=True)
+        tie = float((cnt.astype(np.float64) ** 3 - cnt).sum())
+        p = pvalues_from_stats(
+            np.asarray(u_scipy), tie, len(a), len(b),
+            use_continuity=use_continuity, alternative=alternative,
+        )
+        np.testing.assert_allclose(p, p_scipy, rtol=1e-12, atol=0)
+
+
+def test_degenerate_all_tied():
+    # every value equal -> tie_corr <= 1e-9 -> p = 1 (math.py:96,117-118)
+    n1 = n2 = 10
+    U = n1 * n2 / 2.0
+    t = n1 + n2
+    tie = float(t**3 - t)
+    p = pvalues_from_stats(np.asarray(U), tie, n1, n2)
+    assert p == 1.0
+
+
+def test_tie_correct_off():
+    p_on = pvalues_from_stats(np.asarray(30.0), 100.0, 10, 10, tie_correct=True)
+    p_off = pvalues_from_stats(np.asarray(30.0), 100.0, 10, 10, tie_correct=False)
+    assert p_on != p_off
+
+
+def test_invalid_alternative():
+    with pytest.raises(ValueError, match="Unsupported alternative"):
+        pvalues_from_stats(np.asarray(1.0), 0.0, 3, 3, alternative="bogus")
+
+
+def test_fold_change_ovr_and_ovo():
+    sums = np.array([[10.0, 0.0], [30.0, 4.0]])
+    counts = np.array([2, 4])
+    # OVR: ref is the rest
+    fc = fold_change_from_summed_expr(sums, counts, -1)
+    np.testing.assert_allclose(fc[0], [(10 / 2) / (30 / 4), 0.0])
+    np.testing.assert_allclose(fc[1], [(30 / 4) / (10 / 2), np.inf])
+    # OVO: ref group 0 (mu_ref == 0 -> inf, even on the ref row; math.py:192)
+    fc = fold_change_from_summed_expr(sums, counts, 0)
+    np.testing.assert_allclose(fc[0], [1.0, np.inf])
+    np.testing.assert_allclose(fc[1], [(30 / 4) / (10 / 2), np.inf])
+
+
+def test_fold_change_zero_ref_is_inf():
+    # mu_ref == 0 -> inf (math.py:192)
+    sums = np.array([[0.0], [5.0]])
+    counts = np.array([3, 5])
+    fc = fold_change_from_summed_expr(sums, counts, 0)
+    assert fc[1, 0] == np.inf
