@@ -41,6 +41,7 @@ def asymptotic_wilcoxon(
     precompile: bool = True,
     device=None,
     progress: bool = True,
+    engine: str = "auto",
 ) -> pd.DataFrame:
     """Asymptotic Mann-Whitney (Wilcoxon rank-sum) differential expression.
 
@@ -52,6 +53,9 @@ def asymptotic_wilcoxon(
     Parameters mirror the reference API (``asymptotic_wilcoxon.py:71-83``);
     ``n_threads`` controls host-side tile prefetching (the TPU replaces the
     reference's compute threads), ``device`` optionally pins a jax device.
+    ``engine`` selects the device kernel: ``"hist"`` (histogram contraction,
+    the fast path for integer-count / log1p data, with automatic per-column
+    fallback), ``"sort"`` (general comparison-sort engine), or ``"auto"``.
 
     Returns a DataFrame indexed by (pert, feature) with columns
     ``p_value``, ``statistic`` (U of the reference sample, exact), and
@@ -85,6 +89,7 @@ def asymptotic_wilcoxon(
         tie_correct=tie_correct,
         alternative=alternative,
         device=device,
+        engine=engine,
     )
     if precompile:
         runner.precompile()

@@ -84,6 +84,7 @@ class WilcoxonRunner:
         tie_correct: bool = True,
         alternative: str = "two-sided",
         device=None,
+        engine: Literal["auto", "sort", "hist"] = "auto",
     ):
         self.handler = handler
         self.info = group_info
@@ -99,10 +100,6 @@ class WilcoxonRunner:
         self.bounds, self.tile_width = compute_tile_bounds(
             self.n_genes, batch_size, self.n_threads
         )
-        logger.trace(
-            "Using tile width %d for %d genes (%d tiles).",
-            self.tile_width, self.n_genes, len(self.bounds),
-        )
 
         self.layout = build_padded_layout(group_info.perm, group_info.indptr, BLOCK)
         # Device value dtype: float64 inputs stay float64 (slow emulated path,
@@ -110,56 +107,77 @@ class WilcoxonRunner:
         # float32 below 2^24, far above any realistic UMI count.
         in_dtype = np.dtype(handler.dtype)
         self.value_dtype = np.float64 if in_dtype == np.float64 else np.float32
-        self.tile_fn = make_tile_fn(
-            self.layout,
-            ref_code=group_info.ref_code,
-            is_log1p=self.is_log1p,
+
+        # Engine selection: the histogram engine is the fast path for count
+        # data (raw or log1p); float64 inputs take the exact sort engine.
+        if engine == "auto":
+            engine = "sort" if self.value_dtype == np.float64 else "hist"
+        self.engine = engine
+        self._interpret = jax.default_backend() != "tpu"
+        if engine == "hist":
+            from illico_tpu.ops.hist_engine import make_hist_tile_fn
+
+            # The histogram engine works on 128-column blocks; widen/pad.
+            if self.tile_width >= 128 and self.tile_width % 128:
+                self.tile_width = ((self.tile_width + 127) // 128) * 128
+                self.bounds = [
+                    (lb, min(lb + self.tile_width, self.n_genes))
+                    for lb in range(0, self.n_genes, self.tile_width)
+                ]
+            self.tile_fn = make_hist_tile_fn(
+                self.layout,
+                ref_code=group_info.ref_code,
+                is_log1p=self.is_log1p,
+                interpret=self._interpret,
+            )
+        else:
+            self.tile_fn = make_tile_fn(
+                self.layout,
+                ref_code=group_info.ref_code,
+                is_log1p=self.is_log1p,
+            )
+        logger.trace(
+            "Engine %s, tile width %d for %d genes (%d tiles).",
+            self.engine, self.tile_width, self.n_genes, len(self.bounds),
         )
-        self._compiled = None
+        self._overflow_cols: list[int] = []
 
     # -- compilation ---------------------------------------------------------
-    # Process-wide AOT executable cache: (shapes, dtypes, statics) -> exe.
-    _aot_cache: dict = {}
-
     def precompile(self) -> None:
-        """AOT-compile the tile function for the run's static shape.
+        """AOT-compile the tile function(s) for the run's static shape.
 
         Analog of the reference's ``_precompile`` (``utils/compile.py:12-62``):
         pay the JIT cost once, up front, and guarantee the streaming loop
         triggers zero recompilations.  Executables are cached process-wide by
-        (shape, dtype, statics), the same role as numba's signature-keyed
-        dispatch cache.
+        (shape, dtype, statics) inside each engine module, the same role as
+        numba's signature-keyed dispatch cache.
         """
-        spec = jax.ShapeDtypeStruct(
-            (self.layout.n_cells, self.tile_width), self.value_dtype
-        )
-        args = self.tile_fn._layout_args
-        key = (
-            (spec.shape, str(spec.dtype)),
-            tuple((a.shape, str(a.dtype)) for a in args),
-            tuple(sorted(self.tile_fn._statics.items())),
-            str(self.device),
-        )
-        cached = self._aot_cache.get(key)
-        if cached is not None:
-            self._compiled = cached
-            return
         t0 = time.perf_counter()
-        lowered = self.tile_fn._jitted.lower(
-            spec,
-            *(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args),
-            **self.tile_fn._statics,
+        self.tile_fn.precompile(
+            (self.layout.n_cells, self.tile_width), self.value_dtype, self.device
         )
-        self._compiled = lowered.compile()
-        self._aot_cache[key] = self._compiled
+        self._compiled = True
         logger.trace(
-            "Compiled tile kernel (%d, %d) in %.2fs.",
-            self.layout.n_cells, self.tile_width, time.perf_counter() - t0,
+            "Compiled %s tile kernel (%d, %d) in %.2fs.",
+            self.engine, self.layout.n_cells, self.tile_width,
+            time.perf_counter() - t0,
         )
 
     # -- tile plumbing --------------------------------------------------------
-    def _fetch(self, lb: int, ub: int) -> np.ndarray:
+    @property
+    def _device_resident(self) -> bool:
+        return getattr(self.handler, "is_device", False)
+
+    def _fetch(self, lb: int, ub: int):
         tile = self.handler.fetch_tile(lb, ub)
+        if self._device_resident:
+            import jax.numpy as jnp
+
+            if tile.dtype != self.value_dtype:
+                tile = tile.astype(self.value_dtype)
+            if tile.shape[1] < self.tile_width:
+                tile = jnp.pad(tile, ((0, 0), (0, self.tile_width - tile.shape[1])))
+            return tile
         if tile.dtype != self.value_dtype:
             tile = tile.astype(self.value_dtype)
         if tile.shape[1] < self.tile_width:  # pad last tile's columns
@@ -169,11 +187,37 @@ class WilcoxonRunner:
             tile = np.concatenate([tile, pad], axis=1)
         return tile
 
-    def _run_tile(self, tile_np: np.ndarray):
+    def _run_tile(self, tile_np):
         x = jax.device_put(tile_np, self.device)
-        if self._compiled is not None:
-            return self._compiled(x, *self.tile_fn._layout_args)
         return self.tile_fn(x)
+
+    # -- overflow fallback -----------------------------------------------------
+    _FALLBACK_WIDTH = 128
+
+    def _recompute_with_sort_engine(self, cols: np.ndarray, consume_stats) -> None:
+        """Exact recomputation of selected columns via the sort engine."""
+        sort_fn = make_tile_fn(
+            self.layout, ref_code=self.info.ref_code, is_log1p=self.is_log1p
+        )
+        fw = self._FALLBACK_WIDTH
+        for s in range(0, cols.size, fw):
+            chunk = cols[s : s + fw]
+            tile = self.handler.fetch_columns(chunk)
+            if self._device_resident:
+                import jax.numpy as jnp
+
+                tile = tile.astype(self.value_dtype)
+                if tile.shape[1] < fw:
+                    tile = jnp.pad(tile, ((0, 0), (0, fw - tile.shape[1])))
+            else:
+                tile = np.asarray(tile, dtype=self.value_dtype)
+                if tile.shape[1] < fw:
+                    tile = np.concatenate(
+                        [tile, np.zeros((tile.shape[0], fw - tile.shape[1]),
+                                        self.value_dtype)], axis=1
+                    )
+            out = sort_fn(jax.device_put(tile, self.device))
+            consume_stats(chunk, jax.device_get(out))
 
     # -- main loop ------------------------------------------------------------
     def run(self, progress: bool = True) -> RunResult:
@@ -201,26 +245,38 @@ class WilcoxonRunner:
         counts = info.counts.astype(np.float64)
         n_total = float(info.n_cells)
 
-        def consume(lb, ub, out):
-            w = ub - lb
+        def consume_stats(cols, out):
+            """Scatter one device output dict into the result arrays at the
+            given global column indices."""
+            w = len(cols)
+            ov = out.get("overflow_cols")
+            if ov is not None:
+                bad = np.flatnonzero(np.asarray(ov)[:w])
+                if bad.size:
+                    self._overflow_cols.extend(np.asarray(cols)[bad].tolist())
             if is_ovr:
                 r_tgt = np.asarray(out["R2"])[:, :w] / 2.0
                 n_tgt = counts[:, None]
                 n_ref = n_total - n_tgt
-                U[:, lb:ub] = n_ref * n_tgt + n_tgt * (n_tgt + 1.0) / 2.0 - r_tgt
-                tie[:, lb:ub] = np.asarray(out["tie_col"])[None, :w]
+                U[:, cols] = n_ref * n_tgt + n_tgt * (n_tgt + 1.0) / 2.0 - r_tgt
+                tie[:, cols] = np.broadcast_to(
+                    np.asarray(out["tie_col"])[None, :w], (G, w)
+                )
             else:
                 u_tgt = np.asarray(out["U2"])[:, :w] / 2.0
                 n_ref = counts[info.ref_code]
                 n_tgt = counts[:, None]
-                U[:, lb:ub] = n_ref * n_tgt - u_tgt
-                tie[:, lb:ub] = (
+                U[:, cols] = n_ref * n_tgt - u_tgt
+                tie[:, cols] = (
                     np.asarray(out["tie_ref_col"])[None, :w]
                     + np.asarray(out["tie_seg"])[:, :w]
                 )
-            fc_sums[:, lb:ub] = np.asarray(out["fc_sums"])[:, :w]
+            fc_sums[:, cols] = np.asarray(out["fc_sums"])[:, :w]
+
+        def consume(lb, ub, out):
+            consume_stats(np.arange(lb, ub), out)
             if pbar is not None:
-                pbar.update(G * w)
+                pbar.update(G * (ub - lb))
 
         # Prefetch pipeline: host threads densify tiles ahead of the device.
         n_prefetch = max(2, self.n_threads)
@@ -245,6 +301,17 @@ class WilcoxonRunner:
                 consume(plb, pub, jax.device_get(pout))
         if pbar is not None:
             pbar.close()
+
+        # -- exact sort-engine fallback for histogram-overflow columns -------
+        if self._overflow_cols:
+            cols = np.unique(np.asarray(self._overflow_cols, dtype=np.int64))
+            self._overflow_cols = []
+            logger.trace(
+                "Recomputing %d columns with the sort engine (histogram "
+                "overflow: counts >= table size or non-tabulated values).",
+                cols.size,
+            )
+            self._recompute_with_sort_engine(cols, consume_stats)
 
         # -- float64 statistical tail (host, exact) --------------------------
         if is_ovr:

@@ -273,9 +273,15 @@ def rank_stats_tile(
 # Single process-wide jit cache: every runner with the same shapes and static
 # flags reuses one executable (the reference avoids redundant numba compiles
 # the same way via its signature-keyed dispatcher, ``utils/compile.py:14-17``).
+# float64 is enabled *locally* at trace time — this library never mutates the
+# global x64 flag (and Pallas kernels elsewhere must trace without x64).
 _jitted_rank_stats = jax.jit(
     rank_stats_tile, static_argnames=("ref_code", "is_log1p", "compute_fc")
 )
+
+# Process-wide AOT executable cache, keyed by shapes/dtypes/statics — the
+# analog of numba's signature-keyed dispatch cache.
+_AOT_CACHE: dict = {}
 
 
 def make_tile_fn(layout: PaddedLayout, *, ref_code: int, is_log1p: bool, compute_fc: bool = True):
@@ -285,14 +291,39 @@ def make_tile_fn(layout: PaddedLayout, *, ref_code: int, is_log1p: bool, compute
     pad_mask = jnp.asarray(layout.pad_mask)
     bs = jnp.asarray(layout.block_starts)
     be = jnp.asarray(layout.block_ends)
+    layout_args = (perm, grp, pad_mask, bs, be)
     statics = dict(
         ref_code=int(ref_code), is_log1p=bool(is_log1p), compute_fc=compute_fc
     )
+    state = {"compiled": None}
+
+    def precompile(shape, dtype, device=None) -> None:
+        key = (
+            (tuple(shape), str(dtype)),
+            tuple((tuple(a.shape), str(a.dtype)) for a in layout_args),
+            tuple(sorted(statics.items())),
+            str(device),
+        )
+        exe = _AOT_CACHE.get(key)
+        if exe is None:
+            with jax.enable_x64(True):
+                lowered = _jitted_rank_stats.lower(
+                    jax.ShapeDtypeStruct(tuple(shape), dtype),
+                    *(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in layout_args),
+                    **statics,
+                )
+                exe = lowered.compile()
+            _AOT_CACHE[key] = exe
+        state["compiled"] = exe
 
     def run(x_raw):
-        return _jitted_rank_stats(x_raw, perm, grp, pad_mask, bs, be, **statics)
+        if state["compiled"] is not None:
+            return state["compiled"](x_raw, *layout_args)
+        with jax.enable_x64(True):
+            return _jitted_rank_stats(x_raw, *layout_args, **statics)
 
     run._jitted = _jitted_rank_stats
-    run._layout_args = (perm, grp, pad_mask, bs, be)
+    run._layout_args = layout_args
     run._statics = statics
+    run.precompile = precompile
     return run

@@ -81,7 +81,9 @@ def make_sharded_tile_fn(
     be = jnp.asarray(layout.block_ends)
 
     def run(x_raw):
-        return jitted(x_raw, perm, grp, pad_mask, bs, be)
+        # The rank engine's exact accumulations are float64; enabled locally.
+        with jax.enable_x64(True):
+            return jitted(x_raw, perm, grp, pad_mask, bs, be)
 
     run._jitted = jitted
     run._layout_args = (perm, grp, pad_mask, bs, be)

@@ -79,6 +79,16 @@ class DataHandler(ABC):
     def validate(self) -> None:
         """Input invariant checks; raise ValueError on violation."""
 
+    def fetch_columns(self, idx) -> "np.ndarray":
+        """Dense (n_cells, len(idx)) gather of arbitrary columns (rare path,
+        used for histogram-overflow fallbacks)."""
+        import numpy as _np
+
+        idx = _np.asarray(idx)
+        return _np.concatenate(
+            [self.fetch_tile(int(i), int(i) + 1) for i in idx], axis=1
+        )
+
 
 @data_handler_registry.register(np.ndarray)
 class DenseDataHandler(DataHandler):
@@ -90,6 +100,9 @@ class DenseDataHandler(DataHandler):
 
     def fetch_tile(self, lb, ub):
         return np.ascontiguousarray(self.data[:, lb:ub])
+
+    def fetch_columns(self, idx):
+        return self.data[:, np.asarray(idx)]
 
     def footprint(self):
         return self.data.nbytes
@@ -115,6 +128,9 @@ class CSRDataHandler(DataHandler):
         # densify via CSC for cheap column-major fill
         sub.tocsc().toarray(out=out)
         return out
+
+    def fetch_columns(self, idx):
+        return self.data[:, np.asarray(idx)].toarray()
 
     def footprint(self):
         d = self.data
@@ -148,6 +164,9 @@ class CSCDataHandler(DataHandler):
 
     def fetch_tile(self, lb, ub):
         return self.data[:, lb:ub].toarray()
+
+    def fetch_columns(self, idx):
+        return self.data[:, np.asarray(idx)].toarray()
 
     def footprint(self):
         d = self.data
@@ -253,3 +272,37 @@ def ensure_backed_handlers():
     if not _BACKED_REGISTERED:
         _register_backed_csc()
         _BACKED_REGISTERED = True
+
+
+def _register_jax_array():
+    """Device-resident dense matrices (jax.Array).
+
+    When the expression matrix already lives in device memory (HBM), tiles
+    are column slices on device — zero host work, zero host<->device
+    transfer in the hot loop.  This is the TPU answer to the reference's
+    in-RAM fast path (``registry.py:97-100``): "in RAM" becomes "in HBM".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    concrete = type(jnp.zeros((1,), jnp.float32))
+
+    @data_handler_registry.register(concrete)
+    class DeviceDenseDataHandler(DataHandler):
+        is_device = True
+
+        @property
+        def dtype(self):
+            return np.dtype(self.data.dtype)
+
+        def fetch_tile(self, lb, ub):
+            return jax.lax.slice_in_dim(self.data, lb, ub, axis=1)
+
+        def fetch_columns(self, idx):
+            return jnp.take(self.data, jnp.asarray(np.asarray(idx)), axis=1)
+
+        def footprint(self):
+            return int(np.prod(self.data.shape)) * self.dtype.itemsize
+
+
+_register_jax_array()
