@@ -42,6 +42,7 @@ def asymptotic_wilcoxon(
     device=None,
     progress: bool = True,
     engine: str = "auto",
+    profile_dir: str | None = None,
 ) -> pd.DataFrame:
     """Asymptotic Mann-Whitney (Wilcoxon rank-sum) differential expression.
 
@@ -93,7 +94,7 @@ def asymptotic_wilcoxon(
     )
     if precompile:
         runner.precompile()
-    res = runner.run(progress=progress)
+    res = runner.run(progress=progress, profile_dir=profile_dir)
 
     rows = pd.Series(unique_groups, name="pert", dtype=str)
     cols = pd.Series(np.asarray(adata.var_names), name="feature", dtype=str)

@@ -220,7 +220,20 @@ class WilcoxonRunner:
             consume_stats(chunk, jax.device_get(out))
 
     # -- main loop ------------------------------------------------------------
-    def run(self, progress: bool = True) -> RunResult:
+    def run(self, progress: bool = True, profile_dir: str | None = None) -> RunResult:
+        """Execute the streaming loop.
+
+        ``profile_dir`` wraps the run in ``jax.profiler.trace`` (the
+        observability hook the reference lacks beyond loguru/tqdm; SURVEY §5).
+        """
+        if profile_dir is not None:
+            import contextlib
+
+            with jax.profiler.trace(profile_dir):
+                return self._run(progress)
+        return self._run(progress)
+
+    def _run(self, progress: bool = True) -> RunResult:
         info = self.info
         G, n_genes = info.n_groups, self.n_genes
         n_tests = G * n_genes

@@ -1,0 +1,58 @@
+"""Benchmarks-as-tests, mirroring the reference's pytest-benchmark suite
+(``/root/reference/tests/test_asymptotic_wilcoxon.py:323-373``, markers from
+``pyproject.toml:49-52``).  Excluded from the default run; invoke with
+``pytest -m speed_bench`` (ideally on TPU).
+"""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from illico_tpu import asymptotic_wilcoxon_arrays
+
+
+def _data(n=50_000, t=512, g=100, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.poisson(2.0, (n, t)).astype(np.float32)
+    x[rng.rand(n, t) < 0.9] = 0
+    labels = rng.randint(1, g, n)
+    labels[rng.rand(n) < 0.1] = 0
+    groups = np.array([f"pert_{v}" if v else "non-targeting" for v in labels])
+    return x, groups
+
+
+@pytest.mark.speed_bench
+@pytest.mark.parametrize("test", ["ovo", "ovr"])
+@pytest.mark.parametrize("engine", ["hist", "sort"])
+def test_speed_benchmark(test, engine, tmp_path):
+    x, groups = _data()
+    ref = "non-targeting" if test == "ovo" else None
+    # warm-up / compile
+    asymptotic_wilcoxon_arrays(
+        x, groups, reference=ref, engine=engine, batch_size=512, progress=False
+    )
+    t0 = time.perf_counter()
+    asymptotic_wilcoxon_arrays(
+        x, groups, reference=ref, engine=engine, batch_size=512, progress=False
+    )
+    elapsed = time.perf_counter() - t0
+    rec = {"bench": f"{test}-{engine}", "seconds": round(elapsed, 4)}
+    print(json.dumps(rec))
+    (tmp_path / "result.json").write_text(json.dumps(rec))
+
+
+@pytest.mark.memory_bench
+@pytest.mark.parametrize("test", ["ovo", "ovr"])
+def test_memory_benchmark(test):
+    import tracemalloc
+
+    x, groups = _data(n=20_000, t=256, g=20)
+    ref = "non-targeting" if test == "ovo" else None
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    asymptotic_wilcoxon_arrays(x, groups, reference=ref, batch_size=128, progress=False)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    print(json.dumps({"bench": f"mem-{test}", "peak_mb": round((peak - base) / 1e6, 1)}))
