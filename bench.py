@@ -35,16 +35,19 @@ def make_device_data(n_cells, n_genes, n_groups, seed=0):
     import jax
     import jax.numpy as jnp
 
-    key = jax.random.PRNGKey(seed)
-    k1, k2 = jax.random.split(key)
+    # Generate per column-chunk and keep the matrix HBM-resident as int8
+    # (counts fit comfortably; 300k x 8k stays at 2.4 GB on a 16 GB chip).
+    chunk = min(512, n_genes)
 
     @jax.jit
-    def gen(k1, k2):
-        x = jax.random.poisson(k1, 2.0, (n_cells, n_genes)).astype(jnp.float32)
-        keep = jax.random.uniform(k2, (n_cells, n_genes)) >= 0.9
-        return jnp.where(keep, x, 0.0)  # ~90% zeros, K562-like
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        x = jax.random.poisson(k1, 2.0, (n_cells, chunk)).astype(jnp.float32)
+        keep = jax.random.uniform(k2, (n_cells, chunk)) >= 0.9
+        return jnp.where(keep, jnp.minimum(x, 126.0), 0.0).astype(jnp.int8)
 
-    X = gen(k1, k2)
+    keys = jax.random.split(jax.random.PRNGKey(seed), -(-n_genes // chunk))
+    X = jnp.concatenate([gen(k) for k in keys], axis=1)[:, :n_genes]
     X.block_until_ready()
     rng = np.random.RandomState(seed)
     labels = rng.randint(1, n_groups, n_cells)

@@ -105,6 +105,7 @@ def asymptotic_wilcoxon(
         data=stacked,
         index=pd.MultiIndex.from_product([rows, cols], names=["pert", "feature"]),
         columns=["p_value", "statistic", "fold_change"],
+        copy=False,
     )
 
 

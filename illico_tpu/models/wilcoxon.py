@@ -244,6 +244,7 @@ class WilcoxonRunner:
         U = np.empty((G, n_genes), np.float64)
         tie = np.empty((G, n_genes), np.float64)
         fc_sums = np.empty((G, n_genes), np.float64)
+        pvals = np.empty((G, n_genes), np.float64)
 
         pbar = None
         if progress:
@@ -285,6 +286,19 @@ class WilcoxonRunner:
                     + np.asarray(out["tie_seg"])[:, :w]
                 )
             fc_sums[:, cols] = np.asarray(out["fc_sums"])[:, :w]
+            # p-values per tile: overlaps the (slow) host tail with device
+            # compute and result transfers of subsequent tiles.
+            if is_ovr:
+                nr, nt = n_total - counts[:, None], counts[:, None]
+            else:
+                nr = np.full((G, 1), counts[info.ref_code])
+                nt = counts[:, None]
+            pvals[:, cols] = pvalues_from_stats(
+                U[:, cols], tie[:, cols], nr, nt,
+                use_continuity=self.use_continuity,
+                tie_correct=self.tie_correct,
+                alternative=self.alternative,
+            )
 
         def consume(lb, ub, out):
             consume_stats(np.arange(lb, ub), out)
@@ -292,6 +306,8 @@ class WilcoxonRunner:
                 pbar.update(G * (ub - lb))
 
         # Prefetch pipeline: host threads densify tiles ahead of the device.
+        t_fetch = t_dispatch = t_pull = 0.0
+        t_loop0 = time.perf_counter()
         n_prefetch = max(2, self.n_threads)
         with ThreadPoolExecutor(max_workers=n_prefetch) as pool:
             futures = {}
@@ -300,20 +316,36 @@ class WilcoxonRunner:
                 futures[i] = pool.submit(self._fetch, *self.bounds[i])
             pending = None  # (lb, ub, device-out) one tile in flight
             for i, (lb, ub) in enumerate(self.bounds):
+                t0 = time.perf_counter()
                 tile_np = futures.pop(i).result()
+                t_fetch += time.perf_counter() - t0
                 nxt = i + ahead
                 if nxt < len(self.bounds):
                     futures[nxt] = pool.submit(self._fetch, *self.bounds[nxt])
+                t0 = time.perf_counter()
                 out = self._run_tile(tile_np)
+                t_dispatch += time.perf_counter() - t0
                 if pending is not None:
                     plb, pub, pout = pending
-                    consume(plb, pub, jax.device_get(pout))
+                    t0 = time.perf_counter()
+                    host_out = jax.device_get(pout)
+                    t_pull += time.perf_counter() - t0
+                    consume(plb, pub, host_out)
                 pending = (lb, ub, out)
             if pending is not None:
                 plb, pub, pout = pending
-                consume(plb, pub, jax.device_get(pout))
+                t0 = time.perf_counter()
+                host_out = jax.device_get(pout)
+                t_pull += time.perf_counter() - t0
+                consume(plb, pub, host_out)
         if pbar is not None:
             pbar.close()
+        logger.trace(
+            "Tile loop: %.2fs total (fetch-wait %.2fs, dispatch %.2fs, "
+            "result-pull %.2fs) over %d tiles.",
+            time.perf_counter() - t_loop0, t_fetch, t_dispatch, t_pull,
+            len(self.bounds),
+        )
 
         # -- exact sort-engine fallback for histogram-overflow columns -------
         if self._overflow_cols:
@@ -327,21 +359,11 @@ class WilcoxonRunner:
             self._recompute_with_sort_engine(cols, consume_stats)
 
         # -- float64 statistical tail (host, exact) --------------------------
-        if is_ovr:
-            n_tgt = counts[:, None]
-            n_ref = n_total - n_tgt
-        else:
-            n_tgt = counts[:, None]
-            n_ref = np.full_like(n_tgt, counts[info.ref_code])
-        p = pvalues_from_stats(
-            U, tie, n_ref, n_tgt,
-            use_continuity=self.use_continuity,
-            tie_correct=self.tie_correct,
-            alternative=self.alternative,
-        )
+        # p-values were computed per tile in consume_stats; finish with fold
+        # change and the OVO reference-row sentinels.
         fc = fold_change_from_summed_expr(fc_sums, info.counts, info.ref_code)
         if not is_ovr:
-            p[info.ref_code, :] = REF_SENTINEL_P
+            pvals[info.ref_code, :] = REF_SENTINEL_P
             U[info.ref_code, :] = REF_SENTINEL_U
             fc[info.ref_code, :] = 1.0
-        return RunResult(pvalues=p, statistics=U, fold_change=fc)
+        return RunResult(pvalues=pvals, statistics=U, fold_change=fc)

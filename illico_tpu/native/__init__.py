@@ -1,0 +1,129 @@
+"""Native (C++) host kernels, loaded via ctypes.
+
+The shared library is compiled on first use with the system C++ compiler and
+cached next to the source (or in ``ILLICO_TPU_CACHE``).  Compilation is
+best-effort: when no compiler is available the callers fall back to the numpy
+implementations in :mod:`illico_tpu.stats`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sysconfig
+from pathlib import Path
+
+import numpy as np
+
+from illico_tpu.utils.log import logger
+
+__all__ = ["pvalue_tail_native", "native_available"]
+
+_SRC = Path(__file__).parent / "_tail.cpp"
+_LIB = None
+_TRIED = False
+
+_ALTERNATIVES = {"two-sided": 0, "greater": 1, "less": 2}
+
+
+def _cache_dir() -> Path:
+    base = os.environ.get("ILLICO_TPU_CACHE")
+    if base:
+        d = Path(base)
+    else:
+        d = Path.home() / ".cache" / "illico_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _build() -> Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"illico_tail_{tag}.so"
+    if out.exists():
+        return out
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [
+        cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(out), "-lm",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.debug("native tail build failed: %s", e)
+        return None
+    return out
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        fn = lib.illico_pvalue_tail
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # U
+            ctypes.POINTER(ctypes.c_double),  # tie
+            ctypes.POINTER(ctypes.c_double),  # n_ref
+            ctypes.POINTER(ctypes.c_double),  # n_tgt
+            ctypes.c_int64,                   # n_groups
+            ctypes.c_int64,                   # n_cols
+            ctypes.c_int32,                   # alternative
+            ctypes.c_int32,                   # use_continuity
+            ctypes.c_int32,                   # tie_correct
+            ctypes.POINTER(ctypes.c_double),  # p_out
+        ]
+        _LIB = lib
+    except OSError as e:  # pragma: no cover
+        logger.debug("native tail load failed: %s", e)
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def pvalue_tail_native(
+    U: np.ndarray,
+    tie_sum: np.ndarray,
+    n_ref: np.ndarray,
+    n_tgt: np.ndarray,
+    use_continuity: bool,
+    tie_correct: bool,
+    alternative: str,
+    out: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Fused p-value tail; returns None if the native library is unavailable."""
+    lib = _load()
+    if lib is None or alternative not in _ALTERNATIVES:
+        return None
+    U = np.ascontiguousarray(U, dtype=np.float64)
+    G, T = U.shape
+    tie_sum = np.ascontiguousarray(np.broadcast_to(tie_sum, U.shape), np.float64)
+    n_ref = np.ascontiguousarray(np.broadcast_to(np.asarray(n_ref, np.float64).reshape(-1), (G,)))
+    n_tgt = np.ascontiguousarray(np.broadcast_to(np.asarray(n_tgt, np.float64).reshape(-1), (G,)))
+    if out is None:
+        out = np.empty_like(U)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.illico_pvalue_tail(
+        U.ctypes.data_as(dp),
+        tie_sum.ctypes.data_as(dp),
+        n_ref.ctypes.data_as(dp),
+        n_tgt.ctypes.data_as(dp),
+        ctypes.c_int64(G),
+        ctypes.c_int64(T),
+        ctypes.c_int32(_ALTERNATIVES[alternative]),
+        ctypes.c_int32(1 if use_continuity else 0),
+        ctypes.c_int32(1 if tie_correct else 0),
+        out.ctypes.data_as(dp),
+    )
+    return out

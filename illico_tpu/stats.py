@@ -25,6 +25,17 @@ __all__ = ["pvalues_from_stats", "fold_change_from_summed_expr"]
 _SQRT2 = np.sqrt(2.0)
 
 
+def _per_group_ok(arr: np.ndarray, shape: tuple) -> bool:
+    """True when ``arr`` broadcasts to ``shape`` as a per-row constant."""
+    if arr.ndim == 0:
+        return True
+    if arr.ndim == 1:
+        return arr.size in (1, shape[0])
+    if arr.ndim == 2:
+        return arr.shape[1] == 1 and arr.shape[0] in (1, shape[0])
+    return False
+
+
 def pvalues_from_stats(
     U: np.ndarray,
     tie_sum: np.ndarray,
@@ -33,6 +44,7 @@ def pvalues_from_stats(
     use_continuity: bool = True,
     tie_correct: bool = True,
     alternative: str = "two-sided",
+    prefer_native: bool = True,
 ) -> np.ndarray:
     """Vectorized asymptotic Mann-Whitney p-values.
 
@@ -59,6 +71,17 @@ def pvalues_from_stats(
     n_ref = np.asarray(n_ref, dtype=np.float64)
     n_tgt = np.asarray(n_tgt, dtype=np.float64)
     tie_sum = np.asarray(tie_sum, dtype=np.float64)
+
+    # Fast path: the fused C++ tail (identical formula, libm erfc) when the
+    # sample sizes are per-group scalars of a 2-d (n_groups, n_cols) batch.
+    if prefer_native and U.ndim == 2 and _per_group_ok(n_ref, U.shape) and _per_group_ok(n_tgt, U.shape):
+        from illico_tpu.native import pvalue_tail_native
+
+        res = pvalue_tail_native(
+            U, tie_sum, n_ref, n_tgt, use_continuity, tie_correct, alternative
+        )
+        if res is not None:
+            return res
     if not tie_correct:
         tie_sum = np.zeros_like(tie_sum)
 
