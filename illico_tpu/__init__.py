@@ -13,5 +13,34 @@ h5ad-backed matrices, with exact U statistics and 1e-12 p-value parity versus
 # x64 flag, and Pallas kernels trace with x64 off as Mosaic requires.
 from illico_tpu.api import asymptotic_wilcoxon, asymptotic_wilcoxon_arrays
 
-__all__ = ["asymptotic_wilcoxon", "asymptotic_wilcoxon_arrays"]
+__all__ = [
+    "asymptotic_wilcoxon",
+    "asymptotic_wilcoxon_arrays",
+    "enable_compilation_cache",
+]
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Enable JAX's on-disk compilation cache (opt-in; mutates jax config).
+
+    The tile executables compile once per (shape, dtype, layout) and are
+    reused process-wide; with an on-disk cache they also survive process
+    restarts, turning the ~minutes XLA warm-up of a fresh run into
+    milliseconds.  The analog of numba's on-disk ``cache=True`` the
+    reference leaves untapped (``utils/compile.py``).
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "ILLICO_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "illico_tpu_xla"),
+        )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

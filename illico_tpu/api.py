@@ -62,6 +62,8 @@ def asymptotic_wilcoxon(
     ``p_value``, ``statistic`` (U of the reference sample, exact), and
     ``fold_change``.
     """
+    import time as _time
+
     ensure_backed_handlers()
     if layer is not None:
         logger.info(f"Using layer '{layer}' for differential expression.")
@@ -72,14 +74,17 @@ def asymptotic_wilcoxon(
     handler = data_handler_registry.get(X)
     handler.validate()
 
+    t0 = _time.perf_counter()
     raw_groups = np.asarray(adata.obs[group_keys])
     unique_groups, info = encode_and_count_groups(raw_groups, reference)
+    logger.trace("Group encoding: %.2fs.", _time.perf_counter() - t0)
     logger.info(
         "Found %d unique groups (min size: %d cells; max size: %d cells), "
         "with reference group: %s",
         info.n_groups, int(info.counts.min()), int(info.counts.max()), reference,
     )
 
+    t0 = _time.perf_counter()
     runner = WilcoxonRunner(
         handler,
         info,
@@ -92,21 +97,28 @@ def asymptotic_wilcoxon(
         device=device,
         engine=engine,
     )
+    logger.trace("Runner setup: %.2fs.", _time.perf_counter() - t0)
     if precompile:
         runner.precompile()
     res = runner.run(progress=progress, profile_dir=profile_dir)
 
+    t0 = _time.perf_counter()
     rows = pd.Series(unique_groups, name="pert", dtype=str)
     cols = pd.Series(np.asarray(adata.var_names), name="feature", dtype=str)
-    stacked = np.stack(
-        [res.pvalues, res.statistics, res.fold_change], axis=-1
-    ).reshape(-1, 3)
-    return pd.DataFrame(
+    if res.stacked is not None:
+        stacked = res.stacked.reshape(-1, 3)  # zero-copy
+    else:
+        stacked = np.stack(
+            [res.pvalues, res.statistics, res.fold_change], axis=-1
+        ).reshape(-1, 3)
+    df = pd.DataFrame(
         data=stacked,
         index=pd.MultiIndex.from_product([rows, cols], names=["pert", "feature"]),
         columns=["p_value", "statistic", "fold_change"],
         copy=False,
     )
+    logger.trace("Result assembly: %.2fs.", _time.perf_counter() - t0)
+    return df
 
 
 def asymptotic_wilcoxon_arrays(

@@ -41,6 +41,11 @@ class RunResult:
     pvalues: np.ndarray      # (n_groups, n_genes) float64
     statistics: np.ndarray   # (n_groups, n_genes) float64
     fold_change: np.ndarray  # (n_groups, n_genes) float64
+    # Backing (n_groups, n_genes, 3) buffer in [p, U, fc] column order; the
+    # three fields above are views into it.  ``stacked.reshape(-1, 3)`` is
+    # the zero-copy DataFrame payload (``asymptotic_wilcoxon.py:252-256``
+    # output contract without the reference's final assembly copy).
+    stacked: np.ndarray | None = None
 
 
 def compute_tile_bounds(
@@ -117,13 +122,9 @@ class WilcoxonRunner:
         if engine == "hist":
             from illico_tpu.ops.hist_engine import make_hist_tile_fn
 
-            # The histogram engine works on 128-column blocks; widen/pad.
-            if self.tile_width >= 128 and self.tile_width % 128:
-                self.tile_width = ((self.tile_width + 127) // 128) * 128
-                self.bounds = [
-                    (lb, min(lb + self.tile_width, self.n_genes))
-                    for lb in range(0, self.n_genes, self.tile_width)
-                ]
+            # The Pallas kernel needs 128-column alignment (Mosaic lane
+            # tiling); the engine pads tiles device-side, so host tiles —
+            # and host memory — keep the user's batch size.
             self.tile_fn = make_hist_tile_fn(
                 self.layout,
                 ref_code=group_info.ref_code,
@@ -141,6 +142,33 @@ class WilcoxonRunner:
             self.engine, self.tile_width, self.n_genes, len(self.bounds),
         )
         self._overflow_cols: list[int] = []
+        self._device_fetch = None
+        if self._device_resident and self.value_dtype == np.float32:
+            self._init_device_fetch()
+
+    def _init_device_fetch(self) -> None:
+        """One jitted dynamic-slice fetch reused by every tile.
+
+        Eager per-tile slicing would build (and, over a remote-compile
+        tunnel, expensively compile) a distinct executable per column offset;
+        a traced start index makes all tiles share one executable.  The
+        matrix is column-padded once so every slice has the static width.
+        """
+        import jax.numpy as jnp
+
+        data = self.handler.data
+        rem = (-self.n_genes) % self.tile_width
+        if rem:
+            data = jnp.pad(data, ((0, 0), (0, rem)))
+        self._device_data = data
+        width = self.tile_width
+        vd = self.value_dtype
+
+        @jax.jit
+        def fetch(x, lb):
+            return jax.lax.dynamic_slice_in_dim(x, lb, width, axis=1).astype(vd)
+
+        self._device_fetch = fetch
 
     # -- compilation ---------------------------------------------------------
     def precompile(self) -> None:
@@ -169,6 +197,8 @@ class WilcoxonRunner:
         return getattr(self.handler, "is_device", False)
 
     def _fetch(self, lb: int, ub: int):
+        if self._device_fetch is not None:
+            return self._device_fetch(self._device_data, np.int32(lb))
         tile = self.handler.fetch_tile(lb, ub)
         if self._device_resident:
             import jax.numpy as jnp
@@ -188,6 +218,8 @@ class WilcoxonRunner:
         return tile
 
     def _run_tile(self, tile_np):
+        if self._device_resident and self.device is None:
+            return self.tile_fn(tile_np)
         x = jax.device_put(tile_np, self.device)
         return self.tile_fn(x)
 
@@ -241,10 +273,14 @@ class WilcoxonRunner:
         log_memory_usage(self.handler, info, self.tile_width, self.n_threads)
 
         is_ovr = info.is_ovr
-        U = np.empty((G, n_genes), np.float64)
+        # One (G, n_genes, 3) buffer in final [p, U, fc] layout: consume
+        # writes each tile's results exactly once, and the DataFrame wraps
+        # a zero-copy reshape of it.
+        results = np.empty((G, n_genes, 3), np.float64)
+        pvals = results[..., 0]
+        U = results[..., 1]
+        fc = results[..., 2]
         tie = np.empty((G, n_genes), np.float64)
-        fc_sums = np.empty((G, n_genes), np.float64)
-        pvals = np.empty((G, n_genes), np.float64)
 
         pbar = None
         if progress:
@@ -269,7 +305,10 @@ class WilcoxonRunner:
                 if bad.size:
                     self._overflow_cols.extend(np.asarray(cols)[bad].tolist())
             if is_ovr:
-                r_tgt = np.asarray(out["R2"])[:, :w] / 2.0
+                # R2/U2/fc_sums may arrive in a narrowed exact dtype
+                # (float32/int32, see hist_engine._pick_exact_dtype); all host
+                # algebra is float64.
+                r_tgt = np.asarray(out["R2"], dtype=np.float64)[:, :w] / 2.0
                 n_tgt = counts[:, None]
                 n_ref = n_total - n_tgt
                 U[:, cols] = n_ref * n_tgt + n_tgt * (n_tgt + 1.0) / 2.0 - r_tgt
@@ -277,7 +316,7 @@ class WilcoxonRunner:
                     np.asarray(out["tie_col"])[None, :w], (G, w)
                 )
             else:
-                u_tgt = np.asarray(out["U2"])[:, :w] / 2.0
+                u_tgt = np.asarray(out["U2"], dtype=np.float64)[:, :w] / 2.0
                 n_ref = counts[info.ref_code]
                 n_tgt = counts[:, None]
                 U[:, cols] = n_ref * n_tgt - u_tgt
@@ -285,7 +324,11 @@ class WilcoxonRunner:
                     np.asarray(out["tie_ref_col"])[None, :w]
                     + np.asarray(out["tie_seg"])[:, :w]
                 )
-            fc_sums[:, cols] = np.asarray(out["fc_sums"])[:, :w]
+            # Fold change is column-independent: finalize it per tile.
+            fc[:, cols] = fold_change_from_summed_expr(
+                np.asarray(out["fc_sums"], dtype=np.float64)[:, :w],
+                info.counts, info.ref_code,
+            )
             # p-values per tile: overlaps the (slow) host tail with device
             # compute and result transfers of subsequent tiles.
             if is_ovr:
@@ -300,51 +343,97 @@ class WilcoxonRunner:
                 alternative=self.alternative,
             )
 
+        unpack = getattr(self.tile_fn, "unpack", None)
+
         def consume(lb, ub, out):
+            if unpack is not None and not isinstance(out, dict):
+                out = unpack(out)  # zero-copy views into the pulled buffer
             consume_stats(np.arange(lb, ub), out)
             if pbar is not None:
                 pbar.update(G * (ub - lb))
 
-        # Prefetch pipeline: host threads densify tiles ahead of the device.
+        # Pipeline: host threads densify tiles ahead of the device; the
+        # device queue holds `depth` tiles in flight; result pulls stream in
+        # submission order; the float64 statistical tail runs on a consumer
+        # thread so it overlaps the (bandwidth-bound) result transfers.
+        # Device-resident inputs dispatch every tile up front — the input is
+        # already in HBM and each tile's outputs are tiny, so a deep queue
+        # keeps the device busy back-to-back while transfers drain.
+        # NOTE on threads: the statistical tail (consume) runs INLINE on this
+        # thread, after each pull.  Running it on a worker thread looks like
+        # free overlap but measurably starves the runtime's transfer polling
+        # (GIL contention with numpy), slowing BOTH paths; the tail is ~20%
+        # of a pull, so serializing it costs less than the contention did.
+        from collections import deque
+
         t_fetch = t_dispatch = t_pull = 0.0
+        t_consume = [0.0]
         t_loop0 = time.perf_counter()
-        n_prefetch = max(2, self.n_threads)
-        with ThreadPoolExecutor(max_workers=n_prefetch) as pool:
-            futures = {}
-            ahead = min(n_prefetch, len(self.bounds))
-            for i in range(ahead):
-                futures[i] = pool.submit(self._fetch, *self.bounds[i])
-            pending = None  # (lb, ub, device-out) one tile in flight
-            for i, (lb, ub) in enumerate(self.bounds):
-                t0 = time.perf_counter()
-                tile_np = futures.pop(i).result()
-                t_fetch += time.perf_counter() - t0
-                nxt = i + ahead
-                if nxt < len(self.bounds):
-                    futures[nxt] = pool.submit(self._fetch, *self.bounds[nxt])
-                t0 = time.perf_counter()
-                out = self._run_tile(tile_np)
-                t_dispatch += time.perf_counter() - t0
-                if pending is not None:
-                    plb, pub, pout = pending
-                    t0 = time.perf_counter()
-                    host_out = jax.device_get(pout)
-                    t_pull += time.perf_counter() - t0
-                    consume(plb, pub, host_out)
-                pending = (lb, ub, out)
-            if pending is not None:
-                plb, pub, pout = pending
+
+        def timed_consume(lb, ub, host_out):
+            t0 = time.perf_counter()
+            consume(lb, ub, host_out)
+            t_consume[0] += time.perf_counter() - t0
+
+        if self._device_resident:
+            # Input already in HBM, per-tile outputs tiny: dispatch every
+            # tile up front (each dispatch is async), then stream the pulls
+            # in submission order while the device drains its queue.
+            t0 = time.perf_counter()
+            pending = [
+                (lb, ub, self._run_tile(self._fetch(lb, ub)))
+                for lb, ub in self.bounds
+            ]
+            t_dispatch = time.perf_counter() - t0
+            for plb, pub, pout in pending:
                 t0 = time.perf_counter()
                 host_out = jax.device_get(pout)
                 t_pull += time.perf_counter() - t0
-                consume(plb, pub, host_out)
+                timed_consume(plb, pub, host_out)
+        else:
+            # Host-side inputs: prefetch threads densify tiles ahead of
+            # the device; a bounded in-flight window keeps host memory
+            # O(n_threads x tile).
+            n_prefetch = max(2, self.n_threads)
+            depth = max(2, self.n_threads)
+            with ThreadPoolExecutor(max_workers=n_prefetch) as pool:
+                futures = {}
+                ahead = min(n_prefetch, len(self.bounds))
+                for i in range(ahead):
+                    futures[i] = pool.submit(self._fetch, *self.bounds[i])
+                pending = deque()  # (lb, ub, device-out) tiles in flight
+
+                def pull_one():
+                    plb, pub, pout = pending.popleft()
+                    t0 = time.perf_counter()
+                    host_out = jax.device_get(pout)
+                    nonlocal t_pull
+                    t_pull += time.perf_counter() - t0
+                    timed_consume(plb, pub, host_out)
+
+                for i, (lb, ub) in enumerate(self.bounds):
+                    t0 = time.perf_counter()
+                    tile_np = futures.pop(i).result()
+                    t_fetch += time.perf_counter() - t0
+                    nxt = i + ahead
+                    if nxt < len(self.bounds):
+                        futures[nxt] = pool.submit(
+                            self._fetch, *self.bounds[nxt]
+                        )
+                    t0 = time.perf_counter()
+                    pending.append((lb, ub, self._run_tile(tile_np)))
+                    t_dispatch += time.perf_counter() - t0
+                    if len(pending) > depth:
+                        pull_one()
+                while pending:
+                    pull_one()
         if pbar is not None:
             pbar.close()
         logger.trace(
             "Tile loop: %.2fs total (fetch-wait %.2fs, dispatch %.2fs, "
-            "result-pull %.2fs) over %d tiles.",
+            "result-pull %.2fs, consume %.2fs) over %d tiles.",
             time.perf_counter() - t_loop0, t_fetch, t_dispatch, t_pull,
-            len(self.bounds),
+            t_consume[0], len(self.bounds),
         )
 
         # -- exact sort-engine fallback for histogram-overflow columns -------
@@ -358,12 +447,11 @@ class WilcoxonRunner:
             )
             self._recompute_with_sort_engine(cols, consume_stats)
 
-        # -- float64 statistical tail (host, exact) --------------------------
-        # p-values were computed per tile in consume_stats; finish with fold
-        # change and the OVO reference-row sentinels.
-        fc = fold_change_from_summed_expr(fc_sums, info.counts, info.ref_code)
+        # -- OVO reference-row sentinels (``sparse_ovo.py:140-143``) ----------
         if not is_ovr:
             pvals[info.ref_code, :] = REF_SENTINEL_P
             U[info.ref_code, :] = REF_SENTINEL_U
             fc[info.ref_code, :] = 1.0
-        return RunResult(pvalues=pvals, statistics=U, fold_change=fc)
+        return RunResult(
+            pvalues=pvals, statistics=U, fold_change=fc, stacked=results
+        )

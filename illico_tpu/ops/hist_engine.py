@@ -177,10 +177,96 @@ def hist_pass(
     gathered = jnp.take(x_raw, jnp.clip(perm, 0, x_raw.shape[0] - 1), axis=0)
     xp = jnp.where(pad_mask[:, None], jnp.asarray(jnp.inf, gathered.dtype), gathered)
     xp = xp.astype(jnp.float32)
+    # Mosaic lane tiling needs 128-aligned column slices: pad device-side
+    # (host tiles keep the caller's width; padded columns are discarded by
+    # the consumer, which slices to the tile's real width).
+    rem = (-xp.shape[1]) % 128
+    if rem:
+        xp = jnp.pad(xp, ((0, 0), (0, rem)))
     return grouped_histograms(
         xp, value_table, blk_group, blk_flush,
         n_groups=n_groups, interpret=interpret,
     )
+
+
+def pack_device_outputs(out: dict):
+    """Bit-pack a dict of device arrays into one 1-D uint8 buffer.
+
+    Every transferred array costs a host<->device round trip; over a
+    high-latency link (PCIe is fine, a development tunnel is not) five
+    per-tile arrays cost five round trips.  Packing makes each tile's
+    results ONE transfer.  Arrays are laid out in descending itemsize so
+    every offset stays aligned for host views.  Returns ``(buffer, spec)``
+    where spec is ``[(key, shape, dtype, offset, nbytes)]`` (all static);
+    :func:`unpack_host_buffer` inverts it.
+
+    float64 arrays must hold non-negative integers < 2**53 (true of every
+    statistic here: rank/U sums and tie sums are exact counts): TPU x64
+    emulation cannot *bitcast* 64-bit types, so they are split
+    arithmetically into (hi, lo) uint32 words and reassembled on host —
+    still 8 bytes on the wire and exact.
+    """
+    items = sorted(
+        out.items(),
+        key=lambda kv: (-np.dtype(kv[1].dtype).itemsize, kv[0]),
+    )
+    parts, spec, off = [], [], 0
+    for k, v in items:
+        dtype = np.dtype(v.dtype)
+        if dtype == np.bool_:
+            v = v.astype(jnp.uint8)
+        if np.dtype(v.dtype).itemsize == 8:
+            hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
+            lo = v - hi * jnp.asarray(2.0**32, v.dtype)
+            words = jnp.concatenate(
+                [hi.astype(jnp.uint32).reshape(-1),
+                 lo.astype(jnp.uint32).reshape(-1)]
+            )
+            b = jax.lax.bitcast_convert_type(words, jnp.uint8)
+        elif v.dtype == jnp.uint8:
+            b = v
+        else:
+            b = jax.lax.bitcast_convert_type(v, jnp.uint8)
+        nbytes = int(np.prod(v.shape)) * np.dtype(v.dtype).itemsize
+        parts.append(b.reshape(-1))
+        spec.append((k, tuple(v.shape), dtype, off, nbytes))
+        off += nbytes
+    return jnp.concatenate(parts), spec
+
+
+def unpack_host_buffer(buf, spec) -> dict:
+    """Invert :func:`pack_device_outputs` (views where possible)."""
+    buf = np.asarray(buf)
+    out = {}
+    for k, shape, dtype, off, nbytes in spec:
+        v = buf[off : off + nbytes]
+        if dtype == np.bool_:
+            out[k] = (v != 0).reshape(shape)
+        elif dtype.itemsize == 8:
+            words = v.view(np.uint32)
+            n = nbytes // 8
+            out[k] = (
+                words[:n].astype(np.float64) * 2.0**32
+                + words[n:].astype(np.float64)
+            ).astype(dtype).reshape(shape)
+        else:
+            out[k] = v.view(dtype).reshape(shape)
+    return out
+
+
+def _pick_exact_dtype(bound: float) -> str:
+    """Narrowest dtype representing every integer in [0, bound] exactly.
+
+    The per-(group, column) statistics are exact integers with static bounds
+    known from the group sizes, so they can cross the host<->device link in
+    4 bytes instead of 8 whenever the bound allows — the link (PCIe, or a
+    development tunnel) is the pipeline's bottleneck, not compute.
+    """
+    if bound < 2.0**24:  # float32 integer-exact range
+        return "float32"
+    if bound < 2.0**31:
+        return "int32"
+    return "float64"
 
 
 def hist_contract(
@@ -191,10 +277,18 @@ def hist_contract(
     ref_code: int,
     is_log1p: bool,
     compute_fc: bool = True,
+    u2_dtype: str = "float64",
+    fc_dtype: str = "float64",
+    pack: bool = False,
 ):
     """64-bit stage: all statistics as exact float64 histogram contractions.
     Same output contract as :func:`illico_tpu.ops.rank_engine.rank_stats_tile`,
-    plus ``overflow_cols`` marking columns for the sort-engine fallback."""
+    plus ``overflow_cols`` marking columns for the sort-engine fallback.
+
+    ``u2_dtype`` / ``fc_dtype`` narrow the transferred U2 (or R2) and fc_sums
+    arrays; callers pass dtypes proven exact by :func:`_pick_exact_dtype`.
+    ``pack=True`` returns one uint8 buffer (see :func:`pack_device_outputs`)
+    so each tile's results cross the link as a single transfer."""
     h = hist.astype(jnp.float64)  # (G, V, T)
     out = {}
 
@@ -210,11 +304,11 @@ def hist_contract(
         # Values are the integer counts themselves; for log1p data the mean of
         # expm1(x) is the mean of the underlying counts.
         vals = jnp.arange(h.shape[1], dtype=jnp.float64)[:, None]
-        out["fc_sums"] = jnp.sum(h * vals, axis=1)
+        out["fc_sums"] = jnp.sum(h * vals, axis=1).astype(fc_dtype)
 
     if ref_code == -1:
         r2tab = 2.0 * ccum_excl + c + 1.0
-        out["R2"] = jnp.sum(h * r2tab[None], axis=1)
+        out["R2"] = jnp.sum(h * r2tab[None], axis=1).astype(u2_dtype)
         out["tie_col"] = jnp.sum(c * c * c - c, axis=0)
         # Zeros of the padded layout never reach real buckets, so group sizes
         # are implicit; nothing else needed for OVR.
@@ -222,12 +316,14 @@ def hist_contract(
         a = h[ref_code]  # (V-1, T)
         acum_excl = jnp.cumsum(a, axis=0) - a
         u2tab = 2.0 * acum_excl + a
-        out["U2"] = jnp.sum(h * u2tab[None], axis=1)
+        out["U2"] = jnp.sum(h * u2tab[None], axis=1).astype(u2_dtype)
         out["tie_ref_col"] = jnp.sum(a * a * a - a, axis=0)
         out["tie_seg"] = jnp.sum(
             (h * h * h - h) + 3.0 * a[None] * h * (a[None] + h), axis=1
         )
 
+    if pack:
+        return pack_device_outputs(out)[0]
     return out
 
 
@@ -239,7 +335,10 @@ _jitted_hist_pass = jax.jit(
 )
 _jitted_hist_contract = jax.jit(
     hist_contract,
-    static_argnames=("n_pad", "ref_code", "is_log1p", "compute_fc"),
+    static_argnames=(
+        "n_pad", "ref_code", "is_log1p", "compute_fc", "u2_dtype", "fc_dtype",
+        "pack",
+    ),
 )
 
 
@@ -312,14 +411,68 @@ def make_hist_tile_fn(
     table = jnp.asarray(make_value_table(v_buckets, is_log1p))
     ppg = jnp.asarray(pads_per_group(layout))
     pass_statics = dict(n_groups=layout.n_groups, interpret=interpret)
+
+    # Exact static bounds on the per-(group, column) integer statistics let
+    # them cross the (bandwidth-bound) host<->device link in 4 bytes.
+    real = real_rows_per_group(layout).astype(np.float64)
+    if ref_code == -1:
+        u2_bound = 2.0 * (real.max() if real.size else 0.0) * real.sum()
+    else:
+        others = np.delete(real, ref_code)
+        u2_bound = 2.0 * real[ref_code] * (others.max() if others.size else 0.0)
+    fc_bound = (real.max() if real.size else 0.0) * (v_buckets - 1)
+
     contract_statics = dict(
         n_pad=float(layout.n_pad),
         ref_code=int(ref_code),
         is_log1p=bool(is_log1p),
         compute_fc=compute_fc,
+        u2_dtype=_pick_exact_dtype(u2_bound),
+        fc_dtype=_pick_exact_dtype(fc_bound),
     )
     pass_args = (perm, pad_mask, table, blk_group, blk_flush)
     state = {"pass": None, "contract": None}
+    spec_cache: dict[int, list] = {}  # tile width -> pack spec
+
+    def _spec_for(t_cols: int):
+        if t_cols not in spec_cache:
+            t_pad = t_cols + (-t_cols) % 128  # hist_pass pads device-side
+            hist_spec = jax.ShapeDtypeStruct(
+                (layout.n_groups, table.shape[0], t_pad), jnp.float32
+            )
+            with jax.enable_x64(True):
+                abstract = jax.eval_shape(
+                    functools.partial(
+                        hist_contract, **contract_statics, pack=False
+                    ),
+                    hist_spec,
+                    jax.ShapeDtypeStruct(ppg.shape, ppg.dtype),
+                )
+            items = sorted(
+                abstract.items(),
+                key=lambda kv: (-np.dtype(kv[1].dtype).itemsize, kv[0]),
+            )
+            spec, off = [], 0
+            for k, v in items:
+                dtype = np.dtype(v.dtype)
+                nbytes = int(np.prod(v.shape)) * (
+                    1 if dtype == np.bool_ else dtype.itemsize
+                )
+                spec.append((k, tuple(v.shape), dtype, off, nbytes))
+                off += nbytes
+            spec_cache[t_cols] = spec
+        return spec_cache[t_cols]
+
+    def unpack(buf) -> dict:
+        buf = np.asarray(buf)
+        for spec in spec_cache.values():
+            _, _, _, off, nbytes = spec[-1]
+            if off + nbytes == buf.size:
+                return unpack_host_buffer(buf, spec)
+        raise ValueError(
+            f"No pack spec matches buffer of {buf.size} bytes; "
+            "call the tile function (or precompile) first."
+        )
 
     def precompile(shape, dtype, device=None) -> None:
         key = (
@@ -339,31 +492,38 @@ def make_hist_tile_fn(
                 )
                 p_exe = p_low.compile()
             hist_spec = jax.ShapeDtypeStruct(
-                (layout.n_groups, table.shape[0], shape[1]), jnp.float32
+                (layout.n_groups, table.shape[0], shape[1] + (-shape[1]) % 128),
+                jnp.float32,
             )
             with jax.enable_x64(True):
                 c_low = _jitted_hist_contract.lower(
                     hist_spec,
                     jax.ShapeDtypeStruct(ppg.shape, ppg.dtype),
+                    pack=True,
                     **contract_statics,
                 )
                 c_exe = c_low.compile()
             cached = (p_exe, c_exe)
             _AOT_CACHE[key] = cached
+        _spec_for(shape[1])
         state["pass"], state["contract"] = cached
 
     def run(x_raw):
+        _spec_for(x_raw.shape[1])
         if state["pass"] is not None:
             hist = state["pass"](x_raw, *pass_args)
             return state["contract"](hist, ppg)
         with jax.enable_x64(False):
             hist = _jitted_hist_pass(x_raw, *pass_args, **pass_statics)
         with jax.enable_x64(True):
-            return _jitted_hist_contract(hist, ppg, **contract_statics)
+            return _jitted_hist_contract(
+                hist, ppg, pack=True, **contract_statics
+            )
 
     run._layout_args = pass_args
     run._statics = {**pass_statics, **contract_statics}
     run.precompile = precompile
+    run.unpack = unpack
     return run
 
 

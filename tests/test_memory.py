@@ -36,17 +36,27 @@ def test_backed_heap_discipline(backed, tmp_path):
     full_bytes = 20_000 * 400 * 4  # 32 MB densified
 
     del adata
+
+    def run():
+        ad = read_h5ad(path, backed="r" if backed else None)
+        if not backed:
+            # eager CSC densifies per-tile as well; force full
+            # materialization to mirror the reference's eager-vs-lazy
+            # contrast
+            ad = AnnDataLite(ad.X.toarray(), ad.obs, ad.var)
+        asymptotic_wilcoxon(
+            ad, is_log1p=False, group_keys="pert", reference="p0",
+            batch_size=16, n_threads=1, progress=False,
+        )
+
+    # Warm-up: XLA compilation allocates tens of MB of host memory through
+    # the Python allocator; the discipline under test is the *streaming*
+    # heap (the reference's memray bound likewise reflects steady state,
+    # numba compile happening at first call).
+    run()
     tracemalloc.start()
     base, _ = tracemalloc.get_traced_memory()
-    ad = read_h5ad(path, backed="r" if backed else None)
-    if not backed:
-        # eager CSC densifies per-tile as well; force full materialization to
-        # mirror the reference's eager-vs-lazy contrast
-        ad = AnnDataLite(ad.X.toarray(), ad.obs, ad.var)
-    _ = asymptotic_wilcoxon(
-        ad, is_log1p=False, group_keys="pert", reference="p0",
-        batch_size=16, n_threads=1, progress=False,
-    )
+    run()
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     heap = peak - base
