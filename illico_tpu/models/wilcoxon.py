@@ -344,8 +344,32 @@ class WilcoxonRunner:
             )
 
         unpack = getattr(self.tile_fn, "unpack", None)
+        find_spec = getattr(self.tile_fn, "find_spec", None)
+        alt_ok = self.alternative in ("two-sided", "greater", "less")
 
         def consume(lb, ub, out):
+            w_cols = ub - lb
+            if not isinstance(out, dict) and find_spec is not None and alt_ok:
+                # Fused native path: decode + statistics + p + fc in one C
+                # pass straight from the packed buffer into the result
+                # buffer (see native/_tail.cpp illico_consume_tile).
+                from illico_tpu.native import consume_tile_native
+
+                buf = np.asarray(out)
+                spec = find_spec(buf.size)
+                if spec is not None and "overflow_cols" in spec:
+                    _, _, off, nbytes = spec["overflow_cols"]
+                    bad = np.flatnonzero(buf[off : off + nbytes][:w_cols])
+                    if bad.size:
+                        self._overflow_cols.extend((lb + bad).tolist())
+                    if consume_tile_native(
+                        buf, spec, counts, int(info.ref_code), w_cols,
+                        self.alternative, self.use_continuity,
+                        self.tie_correct, results, lb,
+                    ):
+                        if pbar is not None:
+                            pbar.update(G * w_cols)
+                        return
             if unpack is not None and not isinstance(out, dict):
                 out = unpack(out)  # zero-copy views into the pulled buffer
             consume_stats(np.arange(lb, ub), out)

@@ -19,7 +19,7 @@ import numpy as np
 
 from illico_tpu.utils.log import logger
 
-__all__ = ["pvalue_tail_native", "native_available"]
+__all__ = ["pvalue_tail_native", "consume_tile_native", "native_available"]
 
 _SRC = Path(__file__).parent / "_tail.cpp"
 _LIB = None
@@ -62,6 +62,8 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
+    if os.environ.get("ILLICO_TPU_NO_NATIVE"):  # escape hatch / testing
+        return None
     path = _build()
     if path is None:
         return None
@@ -81,11 +83,108 @@ def _load():
             ctypes.c_int32,                   # tie_correct
             ctypes.POINTER(ctypes.c_double),  # p_out
         ]
+        ct = lib.illico_consume_tile
+        ct.restype = None
+        ct.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,  # u2, dtype
+            ctypes.c_void_p, ctypes.c_int32,  # fc_sums, dtype
+            ctypes.c_void_p, ctypes.c_int32,  # tie_seg, dtype
+            ctypes.c_void_p, ctypes.c_int32,  # tie_col, dtype
+            ctypes.POINTER(ctypes.c_double),  # counts
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # G, T, w
+            ctypes.c_int64,                   # ref_code
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # alt/contin/tie
+            ctypes.POINTER(ctypes.c_double),  # results
+            ctypes.c_int64, ctypes.c_int64,   # col0, n_genes
+            ctypes.POINTER(ctypes.c_double),  # col_scratch
+        ]
         _LIB = lib
     except OSError as e:  # pragma: no cover
         logger.debug("native tail load failed: %s", e)
         _LIB = None
     return _LIB
+
+
+# dtype encodings of illico_consume_tile (keep in sync with _tail.cpp)
+_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64 = 0, 1, 2, 3
+
+
+def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int):
+    """(pointer, dtype code) for one packed-buffer region."""
+    ptr = buf.ctypes.data + off
+    if dtype == np.float32:
+        return ptr, _DT_F32
+    if dtype == np.int32:
+        return ptr, _DT_I32
+    if dtype == np.float64:
+        return ptr, _DT_F64_HILO
+    raise ValueError(f"unsupported packed dtype {dtype}")
+
+
+def consume_tile_native(
+    buf: np.ndarray,
+    spec: dict,
+    counts: np.ndarray,
+    ref_code: int,
+    w: int,
+    alternative: str,
+    use_continuity: bool,
+    tie_correct: bool,
+    results: np.ndarray,
+    col0: int,
+) -> bool:
+    """Fused consume of one packed tile buffer into ``results``.
+
+    ``spec`` maps key -> (shape, dtype, offset, nbytes) for the packed
+    buffer (hist-engine layout); ``results`` is the (G, n_genes, 3) float64
+    output.  Returns False when the native library (or a needed key) is
+    unavailable so the caller can fall back to numpy.
+    """
+    lib = _load()
+    if lib is None or alternative not in _ALTERNATIVES:
+        return False
+    is_ovr = ref_code < 0
+    u2_key = "R2" if is_ovr else "U2"
+    tie_col_key = "tie_col" if is_ovr else "tie_ref_col"
+    needed = {u2_key, "fc_sums", tie_col_key} | (set() if is_ovr else {"tie_seg"})
+    if not needed <= spec.keys():
+        return False
+    if not (buf.flags.c_contiguous and results.flags.c_contiguous):
+        return False
+
+    G, T = spec[u2_key][0]
+    counts = np.ascontiguousarray(counts, dtype=np.float64)
+    scratch = np.empty(max(int(w), 1), np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def enc(key):
+        shape, dtype, off, _ = spec[key]
+        return _encode_packed(buf, shape, dtype, off)
+
+    u2_p, u2_d = enc(u2_key)
+    fc_p, fc_d = enc("fc_sums")
+    tc_p, tc_d = enc(tie_col_key)
+    if is_ovr:
+        ts_p, ts_d = 0, _DT_F64_HILO
+    else:
+        ts_p, ts_d = enc("tie_seg")
+
+    lib.illico_consume_tile(
+        ctypes.c_void_p(u2_p), ctypes.c_int32(u2_d),
+        ctypes.c_void_p(fc_p), ctypes.c_int32(fc_d),
+        ctypes.c_void_p(ts_p), ctypes.c_int32(ts_d),
+        ctypes.c_void_p(tc_p), ctypes.c_int32(tc_d),
+        counts.ctypes.data_as(dp),
+        ctypes.c_int64(G), ctypes.c_int64(T), ctypes.c_int64(w),
+        ctypes.c_int64(ref_code),
+        ctypes.c_int32(_ALTERNATIVES[alternative]),
+        ctypes.c_int32(1 if use_continuity else 0),
+        ctypes.c_int32(1 if tie_correct else 0),
+        results.ctypes.data_as(dp),
+        ctypes.c_int64(col0), ctypes.c_int64(results.shape[1]),
+        scratch.ctypes.data_as(dp),
+    )
+    return True
 
 
 def native_available() -> bool:

@@ -463,6 +463,14 @@ def make_hist_tile_fn(
             spec_cache[t_cols] = spec
         return spec_cache[t_cols]
 
+    def find_spec(buf_size: int) -> dict | None:
+        """key -> (shape, dtype, offset, nbytes) for a packed buffer size."""
+        for spec in spec_cache.values():
+            _, _, _, off, nbytes = spec[-1]
+            if off + nbytes == buf_size:
+                return {k: (s, d, o, n) for (k, s, d, o, n) in spec}
+        return None
+
     def unpack(buf) -> dict:
         buf = np.asarray(buf)
         for spec in spec_cache.values():
@@ -524,6 +532,7 @@ def make_hist_tile_fn(
     run._statics = {**pass_statics, **contract_statics}
     run.precompile = precompile
     run.unpack = unpack
+    run.find_spec = find_spec
     return run
 
 
