@@ -40,6 +40,7 @@ def asymptotic_wilcoxon(
     layer: str | None = None,
     precompile: bool = True,
     device=None,
+    devices: int | None = None,
     progress: bool = True,
     engine: str = "auto",
     profile_dir: str | None = None,
@@ -54,6 +55,9 @@ def asymptotic_wilcoxon(
     Parameters mirror the reference API (``asymptotic_wilcoxon.py:71-83``);
     ``n_threads`` controls host-side tile prefetching (the TPU replaces the
     reference's compute threads), ``device`` optionally pins a jax device.
+    ``devices`` (int > 1) shards every gene tile over a 1-D mesh of that
+    many devices (the reference's thread pool at chip granularity; columns
+    are independent, so the hot path has zero cross-chip collectives).
     ``engine`` selects the device kernel: ``"hist"`` (histogram contraction,
     the fast path for integer-count / log1p data, with automatic per-column
     fallback), ``"sort"`` (general comparison-sort engine), or ``"auto"``.
@@ -84,6 +88,12 @@ def asymptotic_wilcoxon(
         info.n_groups, int(info.counts.min()), int(info.counts.max()), reference,
     )
 
+    mesh = None
+    if devices is not None and devices > 1:
+        from illico_tpu.parallel.mesh import make_gene_mesh
+
+        mesh = make_gene_mesh(devices)
+
     t0 = _time.perf_counter()
     runner = WilcoxonRunner(
         handler,
@@ -96,6 +106,7 @@ def asymptotic_wilcoxon(
         alternative=alternative,
         device=device,
         engine=engine,
+        mesh=mesh,
     )
     logger.trace("Runner setup: %.2fs.", _time.perf_counter() - t0)
     if precompile:

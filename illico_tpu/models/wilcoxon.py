@@ -90,6 +90,7 @@ class WilcoxonRunner:
         alternative: str = "two-sided",
         device=None,
         engine: Literal["auto", "sort", "hist"] = "auto",
+        mesh=None,
     ):
         self.handler = handler
         self.info = group_info
@@ -119,7 +120,43 @@ class WilcoxonRunner:
             engine = "sort" if self.value_dtype == np.float64 else "hist"
         self.engine = engine
         self._interpret = jax.default_backend() != "tpu"
-        if engine == "hist":
+        self.mesh = mesh
+        self._col_sharding = None
+        if mesh is not None:
+            # Multi-chip: shard every tile over the gene axis of the mesh
+            # (columns are independent — zero cross-chip collectives in the
+            # hot path, the reference's thread pool at chip granularity).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_dev = int(np.prod(mesh.devices.shape))
+            # Per-shard widths must stay 128-aligned for the Pallas kernel
+            # on real TPUs (interpret mode has no such constraint).
+            align = n_dev * (1 if self._interpret else 128)
+            if self.tile_width % align:
+                self.tile_width = -(-self.tile_width // align) * align
+                self.bounds = [
+                    (lb, min(lb + self.tile_width, self.n_genes))
+                    for lb in range(0, self.n_genes, self.tile_width)
+                ]
+            self._col_sharding = NamedSharding(mesh, PartitionSpec(None, "genes"))
+            if engine == "hist":
+                from illico_tpu.parallel.mesh import make_sharded_hist_fn
+
+                self.tile_fn = make_sharded_hist_fn(
+                    self.layout, mesh,
+                    ref_code=group_info.ref_code,
+                    is_log1p=self.is_log1p,
+                    interpret=self._interpret,
+                )
+            else:
+                from illico_tpu.parallel.mesh import make_sharded_tile_fn
+
+                self.tile_fn = make_sharded_tile_fn(
+                    self.layout, mesh,
+                    ref_code=group_info.ref_code,
+                    is_log1p=self.is_log1p,
+                )
+        elif engine == "hist":
             from illico_tpu.ops.hist_engine import make_hist_tile_fn
 
             # The Pallas kernel needs 128-column alignment (Mosaic lane
@@ -143,7 +180,11 @@ class WilcoxonRunner:
         )
         self._overflow_cols: list[int] = []
         self._device_fetch = None
-        if self._device_resident and self.value_dtype == np.float32:
+        if (
+            self._device_resident
+            and self.value_dtype == np.float32
+            and mesh is None
+        ):
             self._init_device_fetch()
 
     def _init_device_fetch(self) -> None:
@@ -181,9 +222,22 @@ class WilcoxonRunner:
         numba's signature-keyed dispatch cache.
         """
         t0 = time.perf_counter()
-        self.tile_fn.precompile(
-            (self.layout.n_cells, self.tile_width), self.value_dtype, self.device
-        )
+        if hasattr(self.tile_fn, "precompile"):
+            self.tile_fn.precompile(
+                (self.layout.n_cells, self.tile_width),
+                self.value_dtype,
+                self.device,
+            )
+        else:
+            # Mesh path: warm the jit caches with one zeros tile.
+            import jax.numpy as jnp
+
+            x = jax.device_put(
+                np.zeros((self.layout.n_cells, self.tile_width),
+                         self.value_dtype),
+                self._col_sharding,
+            )
+            jax.device_get(self.tile_fn(x))
         self._compiled = True
         logger.trace(
             "Compiled %s tile kernel (%d, %d) in %.2fs.",
@@ -218,6 +272,8 @@ class WilcoxonRunner:
         return tile
 
     def _run_tile(self, tile_np):
+        if self._col_sharding is not None:
+            return self.tile_fn(jax.device_put(tile_np, self._col_sharding))
         if self._device_resident and self.device is None:
             return self.tile_fn(tile_np)
         x = jax.device_put(tile_np, self.device)

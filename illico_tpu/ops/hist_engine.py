@@ -167,6 +167,7 @@ def hist_pass(
     *,
     n_groups: int,
     interpret: bool = False,
+    pad_align: int = 128,
 ):
     """32-bit stage: gather to the padded layout and run the Pallas sweep.
 
@@ -179,8 +180,9 @@ def hist_pass(
     xp = xp.astype(jnp.float32)
     # Mosaic lane tiling needs 128-aligned column slices: pad device-side
     # (host tiles keep the caller's width; padded columns are discarded by
-    # the consumer, which slices to the tile's real width).
-    rem = (-xp.shape[1]) % 128
+    # the consumer, which slices to the tile's real width).  Sharded callers
+    # pre-align the full tile instead and pass ``pad_align=1``.
+    rem = (-xp.shape[1]) % pad_align
     if rem:
         xp = jnp.pad(xp, ((0, 0), (0, rem)))
     return grouped_histograms(
@@ -331,7 +333,7 @@ def hist_contract(
 # traced with x64 disabled (Mosaic needs 32-bit index arithmetic); the
 # contraction stage with x64 enabled.  Neither touches the global flag.
 _jitted_hist_pass = jax.jit(
-    hist_pass, static_argnames=("n_groups", "interpret")
+    hist_pass, static_argnames=("n_groups", "interpret", "pad_align")
 )
 _jitted_hist_contract = jax.jit(
     hist_contract,
@@ -378,19 +380,16 @@ def pads_per_group(layout: PaddedLayout) -> np.ndarray:
     return (seg - real_rows_per_group(layout)).astype(np.int32)
 
 
-def make_hist_tile_fn(
-    layout: PaddedLayout,
-    *,
-    ref_code: int,
-    is_log1p: bool,
-    compute_fc: bool = True,
-    v_buckets: int = DEFAULT_V,
-    interpret: bool = False,
-):
-    """Histogram-engine tile function with the layout baked in."""
-    # Extend the padded layout to a multiple of the kernel's super block;
-    # extension rows are pads attributed to the last group (they match no
-    # table entry, so they only delay that group's flush to the final step).
+def prepare_hist_inputs(
+    layout: PaddedLayout, v_buckets: int, is_log1p: bool
+) -> tuple:
+    """Device arrays for the histogram pass, derived from the group layout.
+
+    Extends the padded layout to a multiple of the kernel's super block;
+    extension rows are pads attributed to the last group (they match no
+    table entry, so they only delay that group's flush to the final step).
+    Returns ``(perm, pad_mask, table, blk_group, blk_flush, ppg)``.
+    """
     rem = (-layout.n_pad) % _SUPER_ROWS
     perm_np = layout.perm
     grp_np = layout.grp
@@ -404,16 +403,20 @@ def make_hist_tile_fn(
     blk_flush[-1] = 1
     blk_flush[:-1] = (blk_group[1:] != blk_group[:-1]).astype(np.int32)
 
-    perm = jnp.asarray(perm_np)
-    pad_mask = jnp.asarray(pad_np)
-    blk_group = jnp.asarray(blk_group)
-    blk_flush = jnp.asarray(blk_flush)
-    table = jnp.asarray(make_value_table(v_buckets, is_log1p))
-    ppg = jnp.asarray(pads_per_group(layout))
-    pass_statics = dict(n_groups=layout.n_groups, interpret=interpret)
+    return (
+        jnp.asarray(perm_np),
+        jnp.asarray(pad_np),
+        jnp.asarray(make_value_table(v_buckets, is_log1p)),
+        jnp.asarray(blk_group),
+        jnp.asarray(blk_flush),
+        jnp.asarray(pads_per_group(layout)),
+    )
 
-    # Exact static bounds on the per-(group, column) integer statistics let
-    # them cross the (bandwidth-bound) host<->device link in 4 bytes.
+
+def hist_stat_bounds(
+    layout: PaddedLayout, ref_code: int, v_buckets: int
+) -> tuple[float, float]:
+    """Static upper bounds on U2/R2 and fc_sums (exact integer statistics)."""
     real = real_rows_per_group(layout).astype(np.float64)
     if ref_code == -1:
         u2_bound = 2.0 * (real.max() if real.size else 0.0) * real.sum()
@@ -421,6 +424,27 @@ def make_hist_tile_fn(
         others = np.delete(real, ref_code)
         u2_bound = 2.0 * real[ref_code] * (others.max() if others.size else 0.0)
     fc_bound = (real.max() if real.size else 0.0) * (v_buckets - 1)
+    return u2_bound, fc_bound
+
+
+def make_hist_tile_fn(
+    layout: PaddedLayout,
+    *,
+    ref_code: int,
+    is_log1p: bool,
+    compute_fc: bool = True,
+    v_buckets: int = DEFAULT_V,
+    interpret: bool = False,
+):
+    """Histogram-engine tile function with the layout baked in."""
+    perm, pad_mask, table, blk_group, blk_flush, ppg = prepare_hist_inputs(
+        layout, v_buckets, is_log1p
+    )
+    pass_statics = dict(n_groups=layout.n_groups, interpret=interpret)
+
+    # Exact static bounds on the per-(group, column) integer statistics let
+    # them cross the (bandwidth-bound) host<->device link in 4 bytes.
+    u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
 
     contract_statics = dict(
         n_pad=float(layout.n_pad),

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from illico_tpu.ops.rank_engine import PaddedLayout, rank_stats_tile
 
-__all__ = ["make_gene_mesh", "make_sharded_tile_fn"]
+__all__ = ["make_gene_mesh", "make_sharded_tile_fn", "make_sharded_hist_fn"]
 
 
 def make_gene_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -87,5 +87,103 @@ def make_sharded_tile_fn(
 
     run._jitted = jitted
     run._layout_args = (perm, grp, pad_mask, bs, be)
+    run._mesh = mesh
+    return run
+
+
+def make_sharded_hist_fn(
+    layout,
+    mesh: Mesh,
+    *,
+    ref_code: int,
+    is_log1p: bool,
+    compute_fc: bool = True,
+    interpret: bool = False,
+):
+    """Histogram-engine tile function sharded over the gene axis.
+
+    The Pallas histogram sweep runs independently per device on its gene
+    slice (``shard_map``); the float64 contraction is sharded by XLA's
+    partitioner (it is elementwise/reduction over non-gene axes).  Tile
+    columns must be divisible by the mesh size; on real TPUs the per-shard
+    width must additionally be a multiple of 128 (the caller aligns the
+    full tile, so the per-shard pass runs with ``pad_align=1``).
+
+    Outputs are the plain dict (no wire packing): multi-chip runs pull
+    per-shard results over fast per-host links, not a single serial tunnel.
+    """
+    from jax.sharding import PartitionSpec
+    try:
+        from jax import shard_map
+
+        def _smap(f, in_specs, out_specs):
+            # check_vma=False: pallas_call out_shapes carry no vma info.
+            return shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def _smap(f, in_specs, out_specs):
+            return _shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
+
+    from illico_tpu.ops.hist_engine import (
+        DEFAULT_V,
+        hist_contract,
+        hist_pass,
+        hist_stat_bounds,
+        prepare_hist_inputs,
+        _pick_exact_dtype,
+    )
+
+    perm, pad_mask, table, blk_group, blk_flush, ppg = prepare_hist_inputs(
+        layout, DEFAULT_V, is_log1p
+    )
+    u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, DEFAULT_V)
+    contract_statics = dict(
+        n_pad=float(layout.n_pad),
+        ref_code=int(ref_code),
+        is_log1p=bool(is_log1p),
+        compute_fc=compute_fc,
+        u2_dtype=_pick_exact_dtype(u2_bound),
+        fc_dtype=_pick_exact_dtype(fc_bound),
+        pack=False,
+    )
+
+    col = PartitionSpec(None, "genes")
+    rep = PartitionSpec()
+
+    def shard_pass(x, perm, pad_mask, table, blk_group, blk_flush):
+        return hist_pass(
+            x, perm, pad_mask, table, blk_group, blk_flush,
+            n_groups=layout.n_groups, interpret=interpret, pad_align=1,
+        )
+
+    sharded_pass = _smap(
+        shard_pass,
+        in_specs=(col, rep, rep, rep, rep, rep),
+        out_specs=PartitionSpec(None, None, "genes"),
+    )
+
+    # overflow_cols/tie columns are per-gene: keep them sharded on genes; the
+    # (G, T) statistics shard on their gene axis; XLA partitions the
+    # contraction automatically from the input sharding.
+    jit_pass = jax.jit(sharded_pass)
+    jit_contract = jax.jit(
+        functools.partial(hist_contract, **contract_statics)
+    )
+
+    def run(x_sharded):
+        with jax.enable_x64(False):
+            hist = jit_pass(
+                x_sharded, perm, pad_mask, table, blk_group, blk_flush
+            )
+        with jax.enable_x64(True):
+            return jit_contract(hist, ppg)
+
     run._mesh = mesh
     return run

@@ -49,6 +49,25 @@ def test_sharded_matches_single_device(problem, test, n_devices):
         np.testing.assert_array_equal(got[k], expected[k])
 
 
+@pytest.mark.parametrize("engine", ["hist", "sort"])
+@pytest.mark.parametrize("reference", [0, None], ids=["ovo", "ovr"])
+def test_public_api_multichip_matches_single(problem, engine, reference):
+    """asymptotic_wilcoxon(devices=8) == single-device, bit for bit."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    import pandas as pd
+
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    x, labels = problem
+    groups = np.array([f"p{v}" for v in labels])
+    ref = "p0" if reference == 0 else None
+    kw = dict(reference=ref, engine=engine, progress=False)
+    df1 = asymptotic_wilcoxon_arrays(x, groups, **kw)
+    df8 = asymptotic_wilcoxon_arrays(x, groups, devices=8, **kw)
+    pd.testing.assert_frame_equal(df1, df8)
+
+
 def test_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
