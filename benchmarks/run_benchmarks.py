@@ -1,0 +1,95 @@
+"""Benchmark suite runner: saves versioned JSON results.
+
+Role parity with the reference's tox-orchestrated pytest-benchmark suite and
+its versioned ``.benchmarks/`` JSONs (``tox.ini:22-85``, SURVEY §4/§6).
+
+Usage:  python benchmarks/run_benchmarks.py [--quick] [--out PATH]
+"""
+
+import argparse
+import json
+import platform
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+# Allow running straight from a checkout (python benchmarks/run_benchmarks.py).
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _data(n, t, g, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.poisson(2.0, (n, t)).astype(np.float32)
+    x[rng.rand(n, t) < 0.9] = 0
+    labels = rng.randint(1, g, n)
+    labels[rng.rand(n) < 0.1] = 0
+    groups = np.array([f"pert_{v}" if v else "non-targeting" for v in labels])
+    return x, groups
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    from illico_tpu import asymptotic_wilcoxon_arrays, enable_compilation_cache
+    import illico_tpu
+
+    enable_compilation_cache()
+
+    n, t, g = (10_000, 256, 20) if args.quick else (50_000, 512, 100)
+    x, groups = _data(n, t, g)
+
+    results = []
+    for test in ("ovo", "ovr"):
+        for engine in ("hist", "sort"):
+            ref = "non-targeting" if test == "ovo" else None
+            kw = dict(
+                reference=ref, engine=engine, batch_size=512, progress=False
+            )
+            asymptotic_wilcoxon_arrays(x, groups, **kw)  # warm-up/compile
+            times = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                asymptotic_wilcoxon_arrays(x, groups, **kw)
+                times.append(time.perf_counter() - t0)
+            rec = {
+                "name": f"{test}-{engine}",
+                "min_s": round(min(times), 4),
+                "mean_s": round(sum(times) / len(times), 4),
+                "runs": [round(v, 4) for v in times],
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    payload = {
+        "version": illico_tpu.__version__,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "python": platform.python_version(),
+        "shape": {"n_cells": n, "n_genes": t, "n_groups": g},
+        "note": (
+            "wall-clock includes host<->device transfers; this environment "
+            "reaches the TPU through a ~25 MB/s development tunnel on a "
+            "single shared CPU core"
+        ),
+        "results": results,
+    }
+    out = args.out or (
+        Path(__file__).resolve().parent.parent
+        / ".benchmarks"
+        / f"{jax.default_backend()}_{illico_tpu.__version__}.json"
+    )
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    Path(out).write_text(json.dumps(payload, indent=2))
+    print(f"# saved {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Histogram-engine unit tests: pack/unpack wire format and dtype narrowing."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from illico_tpu.ops import hist_engine as he
+
+
+def test_pack_unpack_roundtrip():
+    out = {
+        "tie_seg": jnp.asarray(
+            np.array([[0.0, 1.0, 2.0**48 + 12345.0], [7.0, 2.0**33, 3.0]]),
+            jnp.float64,
+        ),
+        "tie_ref_col": jnp.asarray(np.array([5.0, 0.0, 2.0**40]), jnp.float64),
+        "U2": jnp.asarray(np.array([[1, 2, 3], [4, 5, 6]], np.int32)),
+        "fc_sums": jnp.asarray(
+            np.array([[0.5, 1.5, 2.5], [3.0, 4.0, 5.0]], np.float32)
+        ),
+        "overflow_cols": jnp.asarray(np.array([True, False, True])),
+    }
+    buf, spec = he.pack_device_outputs(out)
+    assert buf.dtype == jnp.uint8
+    total = spec[-1][3] + spec[-1][4]
+    assert buf.shape == (total,)
+    # descending itemsize => every offset 8-byte aligned for the f64 keys
+    for k, shape, dtype, off, nbytes in spec:
+        if dtype.itemsize == 8:
+            assert off % 8 == 0
+
+    back = he.unpack_host_buffer(np.asarray(buf), spec)
+    assert set(back) == set(out)
+    for k in out:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(out[k]))
+        assert back[k].dtype == np.asarray(out[k]).dtype
+
+
+@pytest.mark.parametrize(
+    "bound,expected",
+    [(100.0, "float32"), (2.0**24, "int32"), (2.0**31, "float64")],
+)
+def test_pick_exact_dtype(bound, expected):
+    assert he._pick_exact_dtype(bound) == expected
+
+
+def test_hist_stat_bounds_ovr_vs_ovo():
+    from illico_tpu.ops.rank_engine import build_padded_layout
+    from illico_tpu.utils.groups import encode_and_count_groups
+
+    labels = np.repeat(np.arange(4), [10, 20, 30, 40])
+    _, info = encode_and_count_groups(labels, ref_group=0)
+    layout = build_padded_layout(info.perm, info.indptr)
+    u2_ovo, fc = he.hist_stat_bounds(layout, info.ref_code, 128)
+    assert u2_ovo == 2.0 * 10 * 40
+    assert fc == 40 * 127
+    u2_ovr, _ = he.hist_stat_bounds(layout, -1, 128)
+    assert u2_ovr == 2.0 * 40 * 100
