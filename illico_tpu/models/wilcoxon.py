@@ -167,6 +167,7 @@ class WilcoxonRunner:
                 ref_code=group_info.ref_code,
                 is_log1p=self.is_log1p,
                 interpret=self._interpret,
+                v_buckets=self._pick_v_buckets(),
             )
         else:
             self.tile_fn = make_tile_fn(
@@ -186,6 +187,58 @@ class WilcoxonRunner:
             and mesh is None
         ):
             self._init_device_fetch()
+
+    def _pick_v_buckets(self) -> int:
+        """Size the histogram value table from a cheap data sample.
+
+        The table must cover the observed counts or affected columns fall
+        back to the (exact but slower) sort engine.  Sampling is purely a
+        performance heuristic — exactness never depends on it, because the
+        kernel detects untabulated values per column from count totals.
+        Three column windows (head/middle/tail) bound the common case where
+        expression magnitude varies across the gene axis.
+        """
+        from illico_tpu.ops.hist_engine import DEFAULT_V
+
+        try:
+            n_genes = self.n_genes
+            w = max(1, min(24, n_genes))
+            if self._device_resident:
+                # One head window: each distinct slice offset is a separate
+                # eager executable (expensive over remote-compile links).
+                starts = [0]
+            else:
+                starts = sorted({0, max(0, n_genes // 2 - w // 2), n_genes - w})
+            vmax = 0.0
+            for s in starts:
+                tile = self.handler.fetch_tile(s, min(s + w, n_genes))
+                if self._device_resident:
+                    import jax.numpy as jnp
+
+                    m = float(np.asarray(jnp.max(tile)))
+                else:
+                    arr = np.asarray(tile)
+                    # cap sampled rows: O(100k) values per window
+                    step = max(1, arr.shape[0] * arr.shape[1] // 100_000)
+                    m = float(np.max(arr.ravel()[::step])) if arr.size else 0.0
+                vmax = max(vmax, m)
+        except Exception:  # sampling must never break the run
+            return DEFAULT_V
+        counts_max = float(np.expm1(vmax)) if self.is_log1p else vmax
+        if not np.isfinite(counts_max) or counts_max < DEFAULT_V - 1:
+            return DEFAULT_V
+        for v in (256, 512):
+            if counts_max < v - 1:
+                logger.trace(
+                    "Sampled max count %.0f: widening histogram table to %d.",
+                    counts_max, v,
+                )
+                return v
+        logger.trace(
+            "Sampled max count %.0f exceeds the largest table; columns with "
+            "counts >= 511 will take the exact sort fallback.", counts_max,
+        )
+        return 512
 
     def _init_device_fetch(self) -> None:
         """One jitted dynamic-slice fetch reused by every tile.

@@ -44,6 +44,37 @@ def test_pick_exact_dtype(bound, expected):
     assert he._pick_exact_dtype(bound) == expected
 
 
+def test_adaptive_table_covers_large_counts():
+    """Counts in [128, 511) widen the value table instead of falling back."""
+    from illico_tpu import asymptotic_wilcoxon_arrays
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+    from scipy import stats
+
+    rng = np.random.RandomState(5)
+    X = rng.poisson(60.0, (1500, 8)).astype(np.float32)
+    X[:, 3] += 300  # counts up to ~400: needs the 512-wide table
+    groups = np.array(["a", "b", "c"])[rng.randint(0, 3, 1500)]
+
+    _, info = encode_and_count_groups(groups, "a")
+    runner = WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False
+    )
+    assert runner._pick_v_buckets() == 512
+
+    df = asymptotic_wilcoxon_arrays(X, groups, reference="a", progress=False)
+    Xd = X.astype(np.float64)
+    for j in (0, 3):
+        r = stats.mannwhitneyu(
+            Xd[groups == "a", j], Xd[groups == "b", j],
+            alternative="two-sided", method="asymptotic",
+        )
+        got = df.loc[("b", f"gene_{j}")]
+        assert got["statistic"] == r.statistic
+        assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue
+
+
 def test_hist_stat_bounds_ovr_vs_ovo():
     from illico_tpu.ops.rank_engine import build_padded_layout
     from illico_tpu.utils.groups import encode_and_count_groups
