@@ -106,18 +106,21 @@ def _load():
 
 
 # dtype encodings of illico_consume_tile (keep in sync with _tail.cpp)
-_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64 = 0, 1, 2, 3
+_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64, _DT_U16, _DT_F48 = 0, 1, 2, 3, 4, 5
 
 
-def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int):
+def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: int):
     """(pointer, dtype code) for one packed-buffer region."""
     ptr = buf.ctypes.data + off
+    size = int(np.prod(shape)) if shape else 1
     if dtype == np.float32:
         return ptr, _DT_F32
     if dtype == np.int32:
         return ptr, _DT_I32
+    if dtype == np.uint16:
+        return ptr, _DT_U16
     if dtype == np.float64:
-        return ptr, _DT_F64_HILO
+        return ptr, _DT_F48 if nbytes == 6 * size else _DT_F64_HILO
     raise ValueError(f"unsupported packed dtype {dtype}")
 
 
@@ -158,8 +161,8 @@ def consume_tile_native(
     dp = ctypes.POINTER(ctypes.c_double)
 
     def enc(key):
-        shape, dtype, off, _ = spec[key]
-        return _encode_packed(buf, shape, dtype, off)
+        shape, dtype, off, nbytes = spec[key]
+        return _encode_packed(buf, shape, dtype, off, nbytes)
 
     u2_p, u2_d = enc(u2_key)
     fc_p, fc_d = enc("fc_sums")

@@ -87,10 +87,12 @@ void illico_pvalue_tail(
 // result transfers, so its CPU time is wall-clock.
 //
 // Array encodings (see illico_tpu/ops/hist_engine.py pack_device_outputs):
-//   dtype 0: float32      dtype 1: int32
+//   dtype 0: float32      dtype 1: int32      dtype 4: uint16
 //   dtype 2: float64 packed as hi/lo uint32 word blocks (value =
 //            hi * 2^32 + lo; exact for the non-negative integer
 //            statistics involved)
+//   dtype 5: float64 < 2^48 packed as a uint32 lo block followed by a
+//            uint16 hi block (6 bytes per value)
 //   dtype 3: plain float64
 
 namespace {
@@ -105,6 +107,14 @@ inline double decode(const void* p, int32_t dtype, int64_t idx, int64_t n) {
       const uint32_t* q = static_cast<const uint32_t*>(p);
       return static_cast<double>(q[idx]) * 4294967296.0 +
              static_cast<double>(q[n + idx]);
+    }
+    case 4:
+      return static_cast<double>(static_cast<const uint16_t*>(p)[idx]);
+    case 5: {
+      const uint32_t* lo = static_cast<const uint32_t*>(p);
+      const uint16_t* hi = reinterpret_cast<const uint16_t*>(lo + n);
+      return static_cast<double>(hi[idx]) * 4294967296.0 +
+             static_cast<double>(lo[idx]);
     }
     default:
       return static_cast<const double*>(p)[idx];

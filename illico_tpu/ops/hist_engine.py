@@ -191,33 +191,60 @@ def hist_pass(
     )
 
 
-def pack_device_outputs(out: dict):
+# Wire-order rank by bytes-per-element: keep every block's start aligned to
+# its word size.  8- and 4-byte encodings first; the 6-byte split-f64
+# encoding next (its uint32 block needs 4-byte alignment, which 8/4-byte
+# predecessors guarantee, and it leaves 2-byte alignment behind); 2-byte and
+# single-byte entries last.
+_WIRE_RANK = {8: 0, 4: 1, 6: 2, 2: 3, 1: 4}
+
+
+def _wire_bytes(v, dtype: np.dtype, bit48) -> int:
+    if dtype == np.bool_:
+        return 1
+    if dtype.itemsize == 8 and bit48:
+        return 6
+    return dtype.itemsize
+
+
+def pack_device_outputs(out: dict, bit48_keys: frozenset = frozenset()):
     """Bit-pack a dict of device arrays into one 1-D uint8 buffer.
 
     Every transferred array costs a host<->device round trip; over a
     high-latency link (PCIe is fine, a development tunnel is not) five
     per-tile arrays cost five round trips.  Packing makes each tile's
-    results ONE transfer.  Arrays are laid out in descending itemsize so
+    results ONE transfer.  Arrays are laid out with wider encodings first so
     every offset stays aligned for host views.  Returns ``(buffer, spec)``
     where spec is ``[(key, shape, dtype, offset, nbytes)]`` (all static);
-    :func:`unpack_host_buffer` inverts it.
+    :func:`unpack_host_buffer` inverts it.  The encoding of an entry is
+    implied by ``nbytes / size``: 8 = (hi, lo) uint32 words, 6 = uint32 lo
+    block + uint16 hi block (values < 2**48), natural width otherwise.
 
     float64 arrays must hold non-negative integers < 2**53 (true of every
     statistic here: rank/U sums and tie sums are exact counts): TPU x64
     emulation cannot *bitcast* 64-bit types, so they are split
-    arithmetically into (hi, lo) uint32 words and reassembled on host —
-    still 8 bytes on the wire and exact.
+    arithmetically into word blocks and reassembled on host — exact either
+    way.  Keys in ``bit48_keys`` (values proven < 2**48) use the 6-byte
+    encoding.
     """
-    items = sorted(
-        out.items(),
-        key=lambda kv: (-np.dtype(kv[1].dtype).itemsize, kv[0]),
-    )
-    parts, spec, off = [], [], 0
-    for k, v in items:
+    spec = build_pack_spec(out, bit48_keys)
+    parts = []
+    for k, _shape, _dtype, _off, _nbytes in spec:
+        v = out[k]
         dtype = np.dtype(v.dtype)
         if dtype == np.bool_:
             v = v.astype(jnp.uint8)
-        if np.dtype(v.dtype).itemsize == 8:
+        wb = _wire_bytes(v, dtype, k in bit48_keys)
+        if dtype.itemsize == 8 and wb == 6:
+            hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
+            lo = v - hi * jnp.asarray(2.0**32, v.dtype)
+            b = jnp.concatenate([
+                jax.lax.bitcast_convert_type(
+                    lo.astype(jnp.uint32), jnp.uint8).reshape(-1),
+                jax.lax.bitcast_convert_type(
+                    hi.astype(jnp.uint16), jnp.uint8).reshape(-1),
+            ])
+        elif np.dtype(v.dtype).itemsize == 8:
             hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
             lo = v - hi * jnp.asarray(2.0**32, v.dtype)
             words = jnp.concatenate(
@@ -229,11 +256,33 @@ def pack_device_outputs(out: dict):
             b = v
         else:
             b = jax.lax.bitcast_convert_type(v, jnp.uint8)
-        nbytes = int(np.prod(v.shape)) * np.dtype(v.dtype).itemsize
         parts.append(b.reshape(-1))
+    return jnp.concatenate(parts), spec
+
+
+def build_pack_spec(out: dict, bit48_keys: frozenset = frozenset()) -> list:
+    """Offsets/encodings for :func:`pack_device_outputs`.
+
+    ``out`` values only need ``.shape`` and ``.dtype`` (abstract values
+    work), so hosts can derive the spec without running the computation.
+    """
+    items = sorted(
+        out.items(),
+        key=lambda kv: (
+            _WIRE_RANK[
+                _wire_bytes(kv[1], np.dtype(kv[1].dtype), kv[0] in bit48_keys)
+            ],
+            kv[0],
+        ),
+    )
+    spec, off = [], 0
+    for k, v in items:
+        dtype = np.dtype(v.dtype)
+        wb = _wire_bytes(v, dtype, k in bit48_keys)
+        nbytes = int(np.prod(v.shape)) * wb
         spec.append((k, tuple(v.shape), dtype, off, nbytes))
         off += nbytes
-    return jnp.concatenate(parts), spec
+    return spec
 
 
 def unpack_host_buffer(buf, spec) -> dict:
@@ -242,8 +291,15 @@ def unpack_host_buffer(buf, spec) -> dict:
     out = {}
     for k, shape, dtype, off, nbytes in spec:
         v = buf[off : off + nbytes]
+        size = int(np.prod(shape)) if shape else 1
         if dtype == np.bool_:
             out[k] = (v != 0).reshape(shape)
+        elif dtype.itemsize == 8 and nbytes == 6 * size:
+            lo = v[: 4 * size].view(np.uint32)
+            hi = v[4 * size :].view(np.uint16)
+            out[k] = (
+                hi.astype(np.float64) * 2.0**32 + lo.astype(np.float64)
+            ).astype(dtype).reshape(shape)
         elif dtype.itemsize == 8:
             words = v.view(np.uint32)
             n = nbytes // 8
@@ -264,6 +320,8 @@ def _pick_exact_dtype(bound: float) -> str:
     4 bytes instead of 8 whenever the bound allows — the link (PCIe, or a
     development tunnel) is the pipeline's bottleneck, not compute.
     """
+    if bound < 2.0**16:
+        return "uint16"
     if bound < 2.0**24:  # float32 integer-exact range
         return "float32"
     if bound < 2.0**31:
@@ -282,6 +340,7 @@ def hist_contract(
     u2_dtype: str = "float64",
     fc_dtype: str = "float64",
     pack: bool = False,
+    tie48: bool = False,
 ):
     """64-bit stage: all statistics as exact float64 histogram contractions.
     Same output contract as :func:`illico_tpu.ops.rank_engine.rank_stats_tile`,
@@ -325,7 +384,8 @@ def hist_contract(
         )
 
     if pack:
-        return pack_device_outputs(out)[0]
+        bit48 = frozenset({"tie_seg"}) if tie48 else frozenset()
+        return pack_device_outputs(out, bit48)[0]
     return out
 
 
@@ -339,7 +399,7 @@ _jitted_hist_contract = jax.jit(
     hist_contract,
     static_argnames=(
         "n_pad", "ref_code", "is_log1p", "compute_fc", "u2_dtype", "fc_dtype",
-        "pack",
+        "pack", "tie48",
     ),
 )
 
@@ -443,8 +503,15 @@ def make_hist_tile_fn(
     pass_statics = dict(n_groups=layout.n_groups, interpret=interpret)
 
     # Exact static bounds on the per-(group, column) integer statistics let
-    # them cross the (bandwidth-bound) host<->device link in 4 bytes.
+    # them cross the (bandwidth-bound) host<->device link in 2-6 bytes.
     u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
+    real = real_rows_per_group(layout).astype(np.float64)
+    if ref_code == -1 or real.size == 0:
+        tie48 = False  # OVR has no per-(group, column) tie array
+    else:
+        others = np.delete(real, ref_code)
+        n_pair_max = real[ref_code] + (others.max() if others.size else 0.0)
+        tie48 = n_pair_max**3 < 2.0**48
 
     contract_statics = dict(
         n_pad=float(layout.n_pad),
@@ -453,6 +520,7 @@ def make_hist_tile_fn(
         compute_fc=compute_fc,
         u2_dtype=_pick_exact_dtype(u2_bound),
         fc_dtype=_pick_exact_dtype(fc_bound),
+        tie48=bool(tie48),
     )
     pass_args = (perm, pad_mask, table, blk_group, blk_flush)
     state = {"pass": None, "contract": None}
@@ -464,27 +532,19 @@ def make_hist_tile_fn(
             hist_spec = jax.ShapeDtypeStruct(
                 (layout.n_groups, table.shape[0], t_pad), jnp.float32
             )
+            statics = {k: v for k, v in contract_statics.items() if k != "tie48"}
             with jax.enable_x64(True):
                 abstract = jax.eval_shape(
-                    functools.partial(
-                        hist_contract, **contract_statics, pack=False
-                    ),
+                    functools.partial(hist_contract, **statics, pack=False),
                     hist_spec,
                     jax.ShapeDtypeStruct(ppg.shape, ppg.dtype),
                 )
-            items = sorted(
-                abstract.items(),
-                key=lambda kv: (-np.dtype(kv[1].dtype).itemsize, kv[0]),
+            bit48 = (
+                frozenset({"tie_seg"})
+                if contract_statics["tie48"]
+                else frozenset()
             )
-            spec, off = [], 0
-            for k, v in items:
-                dtype = np.dtype(v.dtype)
-                nbytes = int(np.prod(v.shape)) * (
-                    1 if dtype == np.bool_ else dtype.itemsize
-                )
-                spec.append((k, tuple(v.shape), dtype, off, nbytes))
-                off += nbytes
-            spec_cache[t_cols] = spec
+            spec_cache[t_cols] = build_pack_spec(abstract, bit48)
         return spec_cache[t_cols]
 
     def find_spec(buf_size: int) -> dict | None:

@@ -36,9 +36,39 @@ def test_pack_unpack_roundtrip():
         assert back[k].dtype == np.asarray(out[k]).dtype
 
 
+def test_pack_unpack_roundtrip_narrow_encodings():
+    """uint16 entries and the 6-byte split-f64 ('f48') encoding."""
+    out = {
+        "tie_seg": jnp.asarray(
+            np.array([[0.0, 1.0, 2.0**47 + 987.0], [2.0**33, 5.0, 3.0]]),
+            jnp.float64,
+        ),
+        "tie_ref_col": jnp.asarray(np.array([5.0, 2.0**40, 0.0]), jnp.float64),
+        "U2": jnp.asarray(np.array([[1, 2, 3], [4, 5, 6]], np.int32)),
+        "fc_sums": jnp.asarray(np.array([[0, 65535, 7], [1, 2, 3]], np.uint16)),
+        "overflow_cols": jnp.asarray(np.array([False, True, False])),
+    }
+    buf, spec = he.pack_device_outputs(out, frozenset({"tie_seg"}))
+    by_key = {s[0]: s for s in spec}
+    assert by_key["tie_seg"][4] == 6 * 6      # 6 values x 6 bytes
+    assert by_key["tie_ref_col"][4] == 3 * 8  # full hi/lo encoding
+    assert by_key["fc_sums"][4] == 6 * 2
+    # uint32 sub-block of the f48 entry stays 4-byte aligned
+    assert by_key["tie_seg"][3] % 4 == 0
+
+    back = he.unpack_host_buffer(np.asarray(buf), spec)
+    for k in out:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(out[k]))
+
+
 @pytest.mark.parametrize(
     "bound,expected",
-    [(100.0, "float32"), (2.0**24, "int32"), (2.0**31, "float64")],
+    [
+        (100.0, "uint16"),
+        (2.0**16, "float32"),
+        (2.0**24, "int32"),
+        (2.0**31, "float64"),
+    ],
 )
 def test_pick_exact_dtype(bound, expected):
     assert he._pick_exact_dtype(bound) == expected
