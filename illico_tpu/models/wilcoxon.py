@@ -52,18 +52,24 @@ def compute_tile_bounds(
     n_genes: int,
     batch_size: int | Literal["auto"],
     n_threads: int,
+    auto_width: int = 512,
 ) -> tuple[list[tuple[int, int]], int]:
     """Contiguous column tiles.
 
     Mirrors the reference's batching policy surface
     (``asymptotic_wilcoxon.py:212-227``): small inputs collapse to one batch;
-    an integer ``batch_size`` is honored; ``"auto"`` picks a device-efficient
-    tile width (the TPU analog of "~256 genes per thread dispatch").
+    an integer ``batch_size`` is honored; ``"auto"`` uses the caller-supplied
+    device-efficient tile width (the TPU analog of "~256 genes per thread
+    dispatch").
     """
     if n_genes < 256:
         return [(0, n_genes)], n_genes
     if batch_size == "auto":
-        width = 512
+        # Minimize tile count within the width budget, then shrink the last
+        # tile's padding waste at that tile count.
+        n_tiles = -(-n_genes // auto_width)
+        per_tile = -(-n_genes // n_tiles)
+        width = min(auto_width, 128 * (-(-per_tile // 128)))
     elif isinstance(batch_size, (int, np.integer)):
         width = max(1, min(int(batch_size), n_genes))
     else:
@@ -103,9 +109,6 @@ class WilcoxonRunner:
 
         n_cells, n_genes = handler.shape
         self.n_genes = int(n_genes)
-        self.bounds, self.tile_width = compute_tile_bounds(
-            self.n_genes, batch_size, self.n_threads
-        )
 
         self.layout = build_padded_layout(group_info.perm, group_info.indptr, BLOCK)
         # Device value dtype: float64 inputs stay float64 (slow emulated path,
@@ -119,6 +122,12 @@ class WilcoxonRunner:
         if engine == "auto":
             engine = "sort" if self.value_dtype == np.float64 else "hist"
         self.engine = engine
+        self._v_buckets = self._pick_v_buckets() if engine == "hist" else 0
+
+        self.bounds, self.tile_width = compute_tile_bounds(
+            self.n_genes, batch_size, self.n_threads,
+            auto_width=self._auto_tile_width(),
+        )
         self._interpret = jax.default_backend() != "tpu"
         self.mesh = mesh
         self._col_sharding = None
@@ -167,7 +176,7 @@ class WilcoxonRunner:
                 ref_code=group_info.ref_code,
                 is_log1p=self.is_log1p,
                 interpret=self._interpret,
-                v_buckets=self._pick_v_buckets(),
+                v_buckets=self._v_buckets,
             )
         else:
             self.tile_fn = make_tile_fn(
@@ -187,6 +196,31 @@ class WilcoxonRunner:
             and mesh is None
         ):
             self._init_device_fetch()
+
+    def _auto_tile_width(self) -> int:
+        """Device-efficient tile width for ``batch_size="auto"``.
+
+        Wider tiles amortize the fixed per-transfer cost of the result link
+        and the per-dispatch overhead; the ceiling is the histogram
+        workspace's HBM budget (G x V x T x 4B) and, for host-side inputs,
+        the densified host tile (n_cells x T x 4B) held by the prefetch
+        pipeline.
+        """
+        if self.engine != "hist":
+            return 512
+        G = max(1, self.info.n_groups)
+        # Histogram workspace ~12 B/element: the f32 histogram plus one
+        # float64 temporary of the same (G, V, T) extent in the contraction
+        # (T=4096 at G=2000, V=128 exhausts a 16 GB chip; 2048 is validated).
+        hbm_budget = 8e9
+        t_hbm = int(hbm_budget / (G * max(self._v_buckets, 1) * 12.0))
+        if self._device_resident:
+            cap = 2048
+        else:
+            host_budget = 1e9
+            cap = min(2048, int(host_budget / (self.handler.shape[0] * 4.0)))
+        w = max(512, min(cap, t_hbm))
+        return max(128, (w // 128) * 128)
 
     def _pick_v_buckets(self) -> int:
         """Size the histogram value table from a cheap data sample.
