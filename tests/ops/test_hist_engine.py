@@ -105,6 +105,58 @@ def test_adaptive_table_covers_large_counts():
         assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue
 
 
+def test_log1p_data_exact_parity():
+    """log1p-transformed float32 data ties exactly via the log1p value table.
+
+    SURVEY §7 hard part 2: tie detection must match scipy on the float32
+    values the user actually passes.  The histogram engine tabulates
+    ``log1p(0..V-1)`` in float32, so data produced by float32 pipelines
+    (e.g. scanpy's log1p) hits the table bit-for-bit; p-values, U and the
+    expm1-aware fold change must all match scipy on the same values.
+    """
+    from illico_tpu import asymptotic_wilcoxon_arrays
+    from scipy import stats
+
+    rng = np.random.RandomState(11)
+    counts = rng.poisson(3.0, (3000, 12)).astype(np.float32)
+    counts[rng.rand(3000, 12) < 0.5] = 0
+    X = np.log1p(counts)  # float32 log1p, as scanpy produces
+    groups = np.array(["ctl", "a", "b"])[rng.randint(0, 3, 3000)]
+
+    # The log1p table must actually serve these values: no column may take
+    # the sort-engine overflow fallback (correctness would mask a broken
+    # fast path otherwise).
+    from unittest import mock
+
+    from illico_tpu.models import wilcoxon as wmod
+
+    with mock.patch.object(
+        wmod.WilcoxonRunner,
+        "_recompute_with_sort_engine",
+        side_effect=AssertionError("log1p values missed the histogram table"),
+    ):
+        df = asymptotic_wilcoxon_arrays(
+            X, groups, is_log1p=True, reference="ctl", progress=False
+        )
+    Xd = X.astype(np.float64)
+    ref = groups == "ctl"
+    for g in ("a", "b"):
+        tgt = groups == g
+        for j in range(12):
+            r = stats.mannwhitneyu(
+                Xd[ref, j], Xd[tgt, j],
+                alternative="two-sided", method="asymptotic",
+            )
+            got = df.loc[(g, f"gene_{j}")]
+            assert got["statistic"] == r.statistic, (g, j)
+            assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue, (g, j)
+            # expm1-aware fold change vs the raw-count means
+            mu_t = counts[tgt, j].astype(np.float64).mean()
+            mu_r = counts[ref, j].astype(np.float64).mean()
+            want_fc = np.inf if mu_r == 0 else mu_t / mu_r
+            np.testing.assert_allclose(got["fold_change"], want_fc, rtol=1e-9)
+
+
 def test_hist_stat_bounds_ovr_vs_ovo():
     from illico_tpu.ops.rank_engine import build_padded_layout
     from illico_tpu.utils.groups import encode_and_count_groups
