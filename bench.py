@@ -19,6 +19,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
 """
 
 import json
+import os
 import sys
 import time
 
@@ -109,5 +110,25 @@ def main():
     )
 
 
+def _main_with_retry():
+    """Re-exec on TPU-runtime/compile-service failures.
+
+    The development environment multiplexes several compile/runtime
+    terminals; a process occasionally lands on a broken one and every
+    compile fails with an HTTP 500.  The terminal is picked at process
+    start, so the only effective retry is a fresh process.
+    """
+    attempt = int(os.environ.get("ILLICO_BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - deliberately broad at top level
+        if attempt >= 2:
+            raise
+        print(f"# bench attempt {attempt} failed ({type(e).__name__}: {e}); "
+              "retrying in a fresh process", file=sys.stderr)
+        os.environ["ILLICO_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
