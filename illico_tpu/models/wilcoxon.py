@@ -156,6 +156,7 @@ class WilcoxonRunner:
                     ref_code=group_info.ref_code,
                     is_log1p=self.is_log1p,
                     interpret=self._interpret,
+                    v_buckets=self._v_buckets,
                 )
             else:
                 from illico_tpu.parallel.mesh import make_sharded_tile_fn

@@ -61,7 +61,12 @@ _SUPER_ROWS = _ROW_BLOCK * _SUPER_SUB
 
 
 def _hist_kernel(blk_group_ref, blk_flush_ref, x_ref, tab_ref, out_ref, acc, sem):
-    """One (super-row-block, col-block) step of the grouped histogram sweep."""
+    """One (super-row-block, col-block) step of the grouped histogram sweep.
+
+    The sub-block sweep is a ``fori_loop``, not a Python loop: a 64-way
+    unroll makes Mosaic's compile time explode (~160 s vs <1 s) and even
+    runs ~10% slower (measured on v5e at T=2048).
+    """
     j = pl.program_id(0)  # column block (outer)
     i = pl.program_id(1)  # super row block (inner, sequential)
 
@@ -72,11 +77,11 @@ def _hist_kernel(blk_group_ref, blk_flush_ref, x_ref, tab_ref, out_ref, acc, sem
     tab = tab_ref[:]  # (V, 1) value table, V a multiple of 8
     tb = acc.shape[1]
 
-    for k in range(_SUPER_SUB):
+    def body(k, carry):
         # (V, BR, TB) broadcast equality, reduced over rows -> (V, TB).
         # Values matching no table entry (overflow, pads' +inf) simply do
         # not count; the caller recovers per-column overflow from totals.
-        xk = x_ref[k * _ROW_BLOCK : (k + 1) * _ROW_BLOCK, :]
+        xk = x_ref[pl.ds(k * _ROW_BLOCK, _ROW_BLOCK), :]
         cmp = (xk[None, :, :] == tab[:, :, None]).astype(jnp.float32)
         acc[:, :] += jnp.sum(cmp, axis=1)
 
@@ -89,6 +94,10 @@ def _hist_kernel(blk_group_ref, blk_flush_ref, x_ref, tab_ref, out_ref, acc, sem
             copy.start()
             copy.wait()
             acc[:] = jnp.zeros_like(acc)
+
+        return carry
+
+    jax.lax.fori_loop(0, _SUPER_SUB, body, 0)
 
 
 def grouped_histograms(

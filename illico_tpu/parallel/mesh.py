@@ -99,6 +99,7 @@ def make_sharded_hist_fn(
     is_log1p: bool,
     compute_fc: bool = True,
     interpret: bool = False,
+    v_buckets: int | None = None,
 ):
     """Histogram-engine tile function sharded over the gene axis.
 
@@ -140,10 +141,12 @@ def make_sharded_hist_fn(
         _pick_exact_dtype,
     )
 
+    if v_buckets is None:
+        v_buckets = DEFAULT_V
     perm, pad_mask, table, blk_group, blk_flush, ppg = prepare_hist_inputs(
-        layout, DEFAULT_V, is_log1p
+        layout, v_buckets, is_log1p
     )
-    u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, DEFAULT_V)
+    u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
     contract_statics = dict(
         n_pad=float(layout.n_pad),
         ref_code=int(ref_code),
