@@ -94,15 +94,16 @@ def main():
             X, groups, reference="non-targeting", progress=False,
         )
         times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-    assert res.shape[0] == len(np.unique(groups)) * X.shape[1]
-
-    print(json.dumps({
-        "metric": "k562_scale_ovo_dense_seconds",
-        "value": round(elapsed, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
-    }))
+        assert res.shape[0] == len(np.unique(groups)) * X.shape[1]
+        # Emit best-so-far after every run (the final line is the result);
+        # a harness timeout mid-bench then still records a valid number.
+        elapsed = min(times)
+        print(json.dumps({
+            "metric": "k562_scale_ovo_dense_seconds",
+            "value": round(elapsed, 3),
+            "unit": "s",
+            "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+        }), flush=True)
     print(
         f"# compile+warmup: {compile_s:.1f}s; shape={X.shape}, "
         f"groups={n_groups}; runs: {[round(t, 2) for t in times]}",
