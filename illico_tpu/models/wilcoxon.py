@@ -65,11 +65,18 @@ def compute_tile_bounds(
     if n_genes < 256:
         return [(0, n_genes)], n_genes
     if batch_size == "auto":
-        # Minimize tile count within the width budget, then shrink the last
-        # tile's padding waste at that tile count.
+        # Minimize tile count within the width budget, then round the width
+        # to a power-of-two bucket (128..auto_width): tile executables are
+        # then shared across datasets/runs, and a first-shape XLA compile
+        # (minutes over a remote-compile link) happens once per bucket, not
+        # once per gene count.  Padding waste costs only (cheap) device
+        # compute.
         n_tiles = -(-n_genes // auto_width)
         per_tile = -(-n_genes // n_tiles)
-        width = min(auto_width, 128 * (-(-per_tile // 128)))
+        width = 128
+        while width < per_tile:
+            width *= 2
+        width = min(width, auto_width)
     elif isinstance(batch_size, (int, np.integer)):
         width = max(1, min(int(batch_size), n_genes))
     else:
