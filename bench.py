@@ -88,7 +88,7 @@ def main():
     times = []
     for _ in range(2 if quick else 3):
         if not quick:
-            time.sleep(120)
+            time.sleep(150)  # refill the link's burst credit (see verify notes)
         t0 = time.perf_counter()
         res = asymptotic_wilcoxon_arrays(
             X, groups, reference="non-targeting", progress=False,

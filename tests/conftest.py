@@ -18,9 +18,12 @@ if "host_platform_device_count" not in flags:
 import jax
 
 # The environment's sitecustomize may pre-register a TPU plugin and force
-# jax_platforms; tests always run on the CPU backend (post-import override
-# is the only switch that sticks).
-jax.config.update("jax_platforms", "cpu")
+# jax_platforms; tests run on the CPU backend by default (post-import
+# override is the only switch that sticks).  Set ILLICO_TPU_TEST_TPU=1 to
+# run the whole suite against the real TPU backend instead (multi-device
+# sharding tests then skip).
+if not os.environ.get("ILLICO_TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -69,7 +69,11 @@ def test_public_api_multichip_matches_single(problem, engine, reference):
 
 
 def test_dryrun_multichip():
+    import os
     import sys
+
+    if os.environ.get("ILLICO_TPU_TEST_TPU"):
+        pytest.skip("dry run needs the virtual multi-device CPU backend")
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
 
