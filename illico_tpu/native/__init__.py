@@ -106,7 +106,8 @@ def _load():
 
 
 # dtype encodings of illico_consume_tile (keep in sync with _tail.cpp)
-_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64, _DT_U16, _DT_F48 = 0, 1, 2, 3, 4, 5
+(_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64, _DT_U16, _DT_F48, _DT_U24,
+ _DT_U32) = range(8)
 
 
 def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: int):
@@ -119,6 +120,8 @@ def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: in
         return ptr, _DT_I32
     if dtype == np.uint16:
         return ptr, _DT_U16
+    if dtype == np.uint32:
+        return ptr, _DT_U24 if nbytes == 3 * size else _DT_U32
     if dtype == np.float64:
         return ptr, _DT_F48 if nbytes == 6 * size else _DT_F64_HILO
     raise ValueError(f"unsupported packed dtype {dtype}")

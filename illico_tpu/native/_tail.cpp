@@ -93,6 +93,9 @@ void illico_pvalue_tail(
 //            statistics involved)
 //   dtype 5: float64 < 2^48 packed as a uint32 lo block followed by a
 //            uint16 hi block (6 bytes per value)
+//   dtype 6: uint32 < 2^24 packed as a uint16 lo block followed by a
+//            uint8 hi block (3 bytes per value)
+//   dtype 7: plain uint32
 //   dtype 3: plain float64
 
 namespace {
@@ -116,6 +119,14 @@ inline double decode(const void* p, int32_t dtype, int64_t idx, int64_t n) {
       return static_cast<double>(hi[idx]) * 4294967296.0 +
              static_cast<double>(lo[idx]);
     }
+    case 6: {
+      const uint16_t* lo = static_cast<const uint16_t*>(p);
+      const uint8_t* hi = reinterpret_cast<const uint8_t*>(lo + n);
+      return static_cast<double>((static_cast<uint32_t>(hi[idx]) << 16) |
+                                 lo[idx]);
+    }
+    case 7:
+      return static_cast<double>(static_cast<const uint32_t*>(p)[idx]);
     default:
       return static_cast<const double*>(p)[idx];
   }

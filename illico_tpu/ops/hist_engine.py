@@ -203,20 +203,24 @@ def hist_pass(
 # Wire-order rank by bytes-per-element: keep every block's start aligned to
 # its word size.  8- and 4-byte encodings first; the 6-byte split-f64
 # encoding next (its uint32 block needs 4-byte alignment, which 8/4-byte
-# predecessors guarantee, and it leaves 2-byte alignment behind); 2-byte and
-# single-byte entries last.
-_WIRE_RANK = {8: 0, 4: 1, 6: 2, 2: 3, 1: 4}
+# predecessors guarantee, and it leaves 2-byte alignment behind); the
+# 3-byte split-u32 next (uint16 block + uint8 block; element counts are
+# even for the (G, 128k) arrays involved, so 2-byte alignment holds);
+# 2-byte and single-byte entries last.
+_WIRE_RANK = {8: 0, 4: 1, 6: 2, 3: 3, 2: 4, 1: 5}
 
 
-def _wire_bytes(v, dtype: np.dtype, bit48) -> int:
+def _wire_bytes(v, dtype: np.dtype, narrow) -> int:
     if dtype == np.bool_:
         return 1
-    if dtype.itemsize == 8 and bit48:
+    if dtype.itemsize == 8 and narrow:
         return 6
+    if dtype == np.uint32 and narrow:
+        return 3
     return dtype.itemsize
 
 
-def pack_device_outputs(out: dict, bit48_keys: frozenset = frozenset()):
+def pack_device_outputs(out: dict, narrow_keys: frozenset = frozenset()):
     """Bit-pack a dict of device arrays into one 1-D uint8 buffer.
 
     Every transferred array costs a host<->device round trip; over a
@@ -227,23 +231,24 @@ def pack_device_outputs(out: dict, bit48_keys: frozenset = frozenset()):
     where spec is ``[(key, shape, dtype, offset, nbytes)]`` (all static);
     :func:`unpack_host_buffer` inverts it.  The encoding of an entry is
     implied by ``nbytes / size``: 8 = (hi, lo) uint32 words, 6 = uint32 lo
-    block + uint16 hi block (values < 2**48), natural width otherwise.
+    block + uint16 hi block (values < 2**48), 3 = uint16 lo block + uint8
+    hi block (uint32 values < 2**24), natural width otherwise.
 
     float64 arrays must hold non-negative integers < 2**53 (true of every
     statistic here: rank/U sums and tie sums are exact counts): TPU x64
     emulation cannot *bitcast* 64-bit types, so they are split
     arithmetically into word blocks and reassembled on host — exact either
-    way.  Keys in ``bit48_keys`` (values proven < 2**48) use the 6-byte
-    encoding.
+    way.  Keys in ``narrow_keys`` take the split encoding their dtype
+    allows (float64 -> 6 bytes, uint32 -> 3 bytes).
     """
-    spec = build_pack_spec(out, bit48_keys)
+    spec = build_pack_spec(out, narrow_keys)
     parts = []
     for k, _shape, _dtype, _off, _nbytes in spec:
         v = out[k]
         dtype = np.dtype(v.dtype)
         if dtype == np.bool_:
             v = v.astype(jnp.uint8)
-        wb = _wire_bytes(v, dtype, k in bit48_keys)
+        wb = _wire_bytes(v, dtype, k in narrow_keys)
         if dtype.itemsize == 8 and wb == 6:
             hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
             lo = v - hi * jnp.asarray(2.0**32, v.dtype)
@@ -252,6 +257,13 @@ def pack_device_outputs(out: dict, bit48_keys: frozenset = frozenset()):
                     lo.astype(jnp.uint32), jnp.uint8).reshape(-1),
                 jax.lax.bitcast_convert_type(
                     hi.astype(jnp.uint16), jnp.uint8).reshape(-1),
+            ])
+        elif dtype == np.uint32 and wb == 3:
+            b = jnp.concatenate([
+                jax.lax.bitcast_convert_type(
+                    (v & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.uint8
+                ).reshape(-1),
+                (v >> jnp.uint32(16)).astype(jnp.uint8).reshape(-1),
             ])
         elif np.dtype(v.dtype).itemsize == 8:
             hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
@@ -269,7 +281,7 @@ def pack_device_outputs(out: dict, bit48_keys: frozenset = frozenset()):
     return jnp.concatenate(parts), spec
 
 
-def build_pack_spec(out: dict, bit48_keys: frozenset = frozenset()) -> list:
+def build_pack_spec(out: dict, narrow_keys: frozenset = frozenset()) -> list:
     """Offsets/encodings for :func:`pack_device_outputs`.
 
     ``out`` values only need ``.shape`` and ``.dtype`` (abstract values
@@ -279,7 +291,7 @@ def build_pack_spec(out: dict, bit48_keys: frozenset = frozenset()) -> list:
         out.items(),
         key=lambda kv: (
             _WIRE_RANK[
-                _wire_bytes(kv[1], np.dtype(kv[1].dtype), kv[0] in bit48_keys)
+                _wire_bytes(kv[1], np.dtype(kv[1].dtype), kv[0] in narrow_keys)
             ],
             kv[0],
         ),
@@ -287,8 +299,14 @@ def build_pack_spec(out: dict, bit48_keys: frozenset = frozenset()) -> list:
     spec, off = [], 0
     for k, v in items:
         dtype = np.dtype(v.dtype)
-        wb = _wire_bytes(v, dtype, k in bit48_keys)
-        nbytes = int(np.prod(v.shape)) * wb
+        wb = _wire_bytes(v, dtype, k in narrow_keys)
+        size = int(np.prod(v.shape))
+        if wb == 3 and size % 2:
+            raise ValueError(
+                f"3-byte encoding of '{k}' needs an even element count "
+                f"(got {size}) to keep later blocks 2-byte aligned."
+            )
+        nbytes = size * wb
         spec.append((k, tuple(v.shape), dtype, off, nbytes))
         off += nbytes
     return spec
@@ -309,6 +327,12 @@ def unpack_host_buffer(buf, spec) -> dict:
             out[k] = (
                 hi.astype(np.float64) * 2.0**32 + lo.astype(np.float64)
             ).astype(dtype).reshape(shape)
+        elif dtype == np.uint32 and nbytes == 3 * size:
+            lo = v[: 2 * size].view(np.uint16)
+            hi = v[2 * size :]
+            out[k] = (
+                hi.astype(np.uint32) << 16 | lo.astype(np.uint32)
+            ).reshape(shape)
         elif dtype.itemsize == 8:
             words = v.view(np.uint32)
             n = nbytes // 8
@@ -331,8 +355,8 @@ def _pick_exact_dtype(bound: float) -> str:
     """
     if bound < 2.0**16:
         return "uint16"
-    if bound < 2.0**24:  # float32 integer-exact range
-        return "float32"
+    if bound < 2.0**24:
+        return "uint24"  # uint32 on device, 3 bytes on the wire
     if bound < 2.0**31:
         return "int32"
     return "float64"
@@ -361,6 +385,9 @@ def hist_contract(
     so each tile's results cross the link as a single transfer."""
     h = hist.astype(jnp.float64)  # (G, V, T)
     out = {}
+    # "uint24" is a wire encoding (3 bytes), not a device dtype.
+    u2_dev = "uint32" if u2_dtype == "uint24" else u2_dtype
+    fc_dev = "uint32" if fc_dtype == "uint24" else fc_dtype
 
     # Columns where any real (non-pad) row matched no table entry need the
     # exact sort-engine fallback.
@@ -374,11 +401,11 @@ def hist_contract(
         # Values are the integer counts themselves; for log1p data the mean of
         # expm1(x) is the mean of the underlying counts.
         vals = jnp.arange(h.shape[1], dtype=jnp.float64)[:, None]
-        out["fc_sums"] = jnp.sum(h * vals, axis=1).astype(fc_dtype)
+        out["fc_sums"] = jnp.sum(h * vals, axis=1).astype(fc_dev)
 
     if ref_code == -1:
         r2tab = 2.0 * ccum_excl + c + 1.0
-        out["R2"] = jnp.sum(h * r2tab[None], axis=1).astype(u2_dtype)
+        out["R2"] = jnp.sum(h * r2tab[None], axis=1).astype(u2_dev)
         out["tie_col"] = jnp.sum(c * c * c - c, axis=0)
         # Zeros of the padded layout never reach real buckets, so group sizes
         # are implicit; nothing else needed for OVR.
@@ -386,15 +413,21 @@ def hist_contract(
         a = h[ref_code]  # (V-1, T)
         acum_excl = jnp.cumsum(a, axis=0) - a
         u2tab = 2.0 * acum_excl + a
-        out["U2"] = jnp.sum(h * u2tab[None], axis=1).astype(u2_dtype)
+        out["U2"] = jnp.sum(h * u2tab[None], axis=1).astype(u2_dev)
         out["tie_ref_col"] = jnp.sum(a * a * a - a, axis=0)
         out["tie_seg"] = jnp.sum(
             (h * h * h - h) + 3.0 * a[None] * h * (a[None] + h), axis=1
         )
 
     if pack:
-        bit48 = frozenset({"tie_seg"}) if tie48 else frozenset()
-        return pack_device_outputs(out, bit48)[0]
+        narrow = set()
+        if tie48:
+            narrow.add("tie_seg")
+        if u2_dtype == "uint24":
+            narrow.add("R2" if ref_code == -1 else "U2")
+        if fc_dtype == "uint24" and compute_fc:
+            narrow.add("fc_sums")
+        return pack_device_outputs(out, frozenset(narrow))[0]
     return out
 
 
@@ -548,12 +581,14 @@ def make_hist_tile_fn(
                     hist_spec,
                     jax.ShapeDtypeStruct(ppg.shape, ppg.dtype),
                 )
-            bit48 = (
-                frozenset({"tie_seg"})
-                if contract_statics["tie48"]
-                else frozenset()
-            )
-            spec_cache[t_cols] = build_pack_spec(abstract, bit48)
+            narrow = set()
+            if contract_statics["tie48"]:
+                narrow.add("tie_seg")
+            if contract_statics["u2_dtype"] == "uint24":
+                narrow.add("R2" if contract_statics["ref_code"] == -1 else "U2")
+            if contract_statics["fc_dtype"] == "uint24":
+                narrow.add("fc_sums")
+            spec_cache[t_cols] = build_pack_spec(abstract, frozenset(narrow))
         return spec_cache[t_cols]
 
     def find_spec(buf_size: int) -> dict | None:

@@ -65,13 +65,28 @@ def test_pack_unpack_roundtrip_narrow_encodings():
     "bound,expected",
     [
         (100.0, "uint16"),
-        (2.0**16, "float32"),
+        (2.0**16, "uint24"),
         (2.0**24, "int32"),
         (2.0**31, "float64"),
     ],
 )
 def test_pick_exact_dtype(bound, expected):
     assert he._pick_exact_dtype(bound) == expected
+
+
+def test_pack_unpack_u24():
+    out = {
+        "U2": jnp.asarray(
+            np.array([[0, 1, 2**24 - 1], [65536, 123456, 7]], np.uint32)
+        ),
+        "overflow_cols": jnp.asarray(np.array([False, False, True])),
+    }
+    buf, spec = he.pack_device_outputs(out, frozenset({"U2"}))
+    by_key = {s[0]: s for s in spec}
+    assert by_key["U2"][4] == 6 * 3  # 6 values x 3 bytes
+    back = he.unpack_host_buffer(np.asarray(buf), spec)
+    np.testing.assert_array_equal(np.asarray(back["U2"]), np.asarray(out["U2"]))
+    assert back["U2"].dtype == np.uint32
 
 
 def test_adaptive_table_covers_large_counts():
