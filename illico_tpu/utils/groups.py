@@ -81,9 +81,19 @@ def encode_and_count_groups(
     (same contract as ``groups.py:40-41``).
     """
     groups = np.asarray(groups)
-    unique_groups, encoded, counts = np.unique(
-        groups, return_inverse=True, return_counts=True
-    )
+    # pandas' hash-based factorize is ~10x faster than np.unique's sort on
+    # large string label arrays; re-rank its appearance-order codes into
+    # np.unique's sorted order so the output contract is unchanged.
+    import pandas as pd
+
+    codes, uniques = pd.factorize(groups)
+    uniques = np.asarray(uniques)
+    order = np.argsort(uniques, kind="stable")
+    rank = np.empty(order.size, dtype=np.int64)
+    rank[order] = np.arange(order.size)
+    encoded = rank[codes]
+    unique_groups = uniques[order]
+    counts = np.bincount(encoded, minlength=order.size)
     if ref_group is not None:
         hit = np.flatnonzero(unique_groups == np.asarray(ref_group))
         if hit.size == 0:
