@@ -79,14 +79,14 @@ def main():
     )
     compile_s = time.perf_counter() - t_setup
 
-    # Min of 3 runs: this host has ONE shared CPU core and a development
+    # Min of 4 runs: this host has ONE shared CPU core and a development
     # tunnel to the TPU whose bandwidth is credit-limited (sustained pulls
     # decay ~3x; ~2 min idle refills it — measured, see the verify skill
     # notes). Let the link refill before each run, and take the minimum —
     # the standard low-noise estimator (pytest-benchmark's primary
     # statistic, as used by the reference's own suite).
     times = []
-    for _ in range(2 if quick else 3):
+    for _ in range(2 if quick else 4):
         if not quick:
             time.sleep(150)  # refill the link's burst credit (see verify notes)
         t0 = time.perf_counter()
