@@ -193,3 +193,38 @@ def test_arrays_api():
     # sentinel row for the reference group
     assert (res.loc["a"].p_value == 1.0).all()
     assert (res.loc["a"].statistic == -1.0).all()
+
+
+def test_layer_selection():
+    """`layer=` selects adata.layers[...] over adata.X (reference
+    ``asymptotic_wilcoxon.py:178-182``), round-tripping through h5ad."""
+    import tempfile
+    from pathlib import Path
+
+    from illico_tpu.io.h5ad import AnnDataLite, read_h5ad
+
+    rng = np.random.RandomState(4)
+    X = rng.poisson(2.0, (400, 6)).astype(np.float32)
+    other = rng.poisson(5.0, (400, 6)).astype(np.float32)
+    obs = pd.DataFrame({"pert": rng.choice(["a", "b"], 400)})
+    var = pd.DataFrame(index=[f"g{i}" for i in range(6)])
+    ad = AnnDataLite(X, obs, var, layers={"counts": other})
+    with tempfile.TemporaryDirectory() as d:
+        path = Path(d) / "t.h5ad"
+        ad.write_h5ad(path)
+        ad2 = read_h5ad(path)
+    np.testing.assert_array_equal(ad2.layers["counts"], other)
+
+    from_x = asymptotic_wilcoxon(
+        ad2, is_log1p=False, group_keys="pert", reference="a", progress=False
+    )
+    from_layer = asymptotic_wilcoxon(
+        ad2, is_log1p=False, group_keys="pert", reference="a",
+        layer="counts", progress=False,
+    )
+    want = asymptotic_wilcoxon(
+        AnnDataLite(other, obs, var), is_log1p=False, group_keys="pert",
+        reference="a", progress=False,
+    )
+    pd.testing.assert_frame_equal(from_layer, want)
+    assert not from_x.equals(from_layer)
