@@ -68,6 +68,8 @@ def asymptotic_wilcoxon(
     """
     import time as _time
 
+    if alternative not in ("two-sided", "greater", "less"):
+        raise ValueError(f"Unsupported alternative hypothesis: {alternative}")
     ensure_backed_handlers()
     if layer is not None:
         logger.info(f"Using layer '{layer}' for differential expression.")

@@ -228,3 +228,14 @@ def test_layer_selection():
     )
     pd.testing.assert_frame_equal(from_layer, want)
     assert not from_x.equals(from_layer)
+
+
+def test_invalid_alternative_rejected_early():
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    X = np.zeros((10, 4), np.float32)
+    groups = np.array(["a", "b"] * 5)
+    with pytest.raises(ValueError, match="alternative"):
+        asymptotic_wilcoxon_arrays(
+            X, groups, reference="a", alternative="bogus", progress=False
+        )
