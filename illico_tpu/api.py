@@ -14,6 +14,7 @@ variant :func:`asymptotic_wilcoxon_arrays` skips the AnnData wrapper.
 
 from __future__ import annotations
 
+import time as _time
 from typing import Literal
 
 import numpy as np
@@ -66,8 +67,6 @@ def asymptotic_wilcoxon(
     ``p_value``, ``statistic`` (U of the reference sample, exact), and
     ``fold_change``.
     """
-    import time as _time
-
     if alternative not in ("two-sided", "greater", "less"):
         raise ValueError(f"Unsupported alternative hypothesis: {alternative}")
     ensure_backed_handlers()

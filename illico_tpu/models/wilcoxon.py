@@ -13,7 +13,6 @@ mesh sharding in :mod:`illico_tpu.parallel` for multi-chip runs.
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Literal
