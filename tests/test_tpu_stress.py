@@ -1,0 +1,87 @@
+"""Randomized hardware stress: many configs vs scipy on the real TPU.
+
+Run explicitly with:
+
+    ILLICO_TPU_TEST_TPU=1 python -m pytest tests/test_tpu_stress.py -m tpu_stress -q -s
+
+Each trial draws shape / group count / expression scale / sparsity /
+log1p / alternative / test mode / engine at random and asserts the exact
+contract (U bit-equal, p within 1e-12) on sampled (group, gene) cells.
+Covers the narrow wire-encoding tiers, the adaptive value table, and the
+sort-engine overflow fallback (lam=200 exceeds the largest table) on the
+actual hardware. Last full pass: 16 trials / 84 checks on v5e.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from illico_tpu import asymptotic_wilcoxon_arrays
+
+
+@pytest.mark.tpu_stress
+def test_randomized_tpu_stress():
+    if not os.environ.get("ILLICO_TPU_TEST_TPU"):
+        pytest.skip("hardware stress: set ILLICO_TPU_TEST_TPU=1")
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs an accelerator backend")
+
+    rng0 = np.random.RandomState(123)
+    n_checked = 0
+    t_start = time.time()
+    for trial in range(16):
+        seed = int(rng0.randint(1 << 30))
+        r = np.random.RandomState(seed)
+        n = int(r.choice([800, 3000, 12000]))
+        t = int(r.choice([5, 33, 128, 200]))
+        g = int(r.choice([2, 5, 30]))
+        lam = float(r.choice([0.5, 3.0, 40.0, 200.0]))
+        density = float(r.choice([0.15, 0.5, 0.9]))
+        log1p = bool(r.randint(2))
+        alt = str(r.choice(["two-sided", "greater", "less"]))
+        mode = str(r.choice(["ovo", "ovr"]))
+        engine = str(r.choice(["auto", "sort"]))
+
+        counts = r.poisson(lam, (n, t)).astype(np.float64)
+        counts[r.rand(n, t) >= density] = 0
+        x = (
+            np.log1p(counts).astype(np.float32)
+            if log1p
+            else counts.astype(np.float32)
+        )
+        labels = r.randint(0, g, n)
+        labels[:g] = np.arange(g)
+        groups = np.array([f"g{v}" for v in labels])
+        ref = "g0" if mode == "ovo" else None
+
+        df = asymptotic_wilcoxon_arrays(
+            x, groups, is_log1p=log1p, reference=ref, alternative=alt,
+            progress=False, engine=engine,
+        )
+        xd = x.astype(np.float64)
+        for gr in {f"g{g-1}", "g1"}:
+            if mode == "ovo" and gr == "g0":
+                continue
+            tgt = groups == gr
+            refm = groups == "g0" if mode == "ovo" else ~tgt
+            for j in {0, t - 1, int(r.randint(t))}:
+                rr = stats.mannwhitneyu(
+                    xd[refm, j], xd[tgt, j],
+                    alternative=alt, method="asymptotic",
+                )
+                got = df.loc[(gr, f"gene_{j}")]
+                assert got["statistic"] == rr.statistic, (trial, seed, gr, j)
+                assert (
+                    abs(got["p_value"] - rr.pvalue) <= 1e-12 * rr.pvalue
+                ), (trial, seed, gr, j, got["p_value"], rr.pvalue)
+                n_checked += 1
+        print(
+            f"trial {trial}: n={n} t={t} g={g} lam={lam} log1p={log1p} "
+            f"alt={alt} {mode}/{engine} OK", flush=True,
+        )
+    print(f"STRESS PASS: {n_checked} checks in {time.time()-t_start:.0f}s")
