@@ -239,3 +239,31 @@ def test_invalid_alternative_rejected_early():
         asymptotic_wilcoxon_arrays(
             X, groups, reference="a", alternative="bogus", progress=False
         )
+
+
+@pytest.mark.parametrize(
+    "n_genes,auto_width,want_width",
+    [
+        (8000, 2048, 2048),   # 4 tiles, bucket holds
+        (600, 2048, 1024),    # 1 tile, pow2 bucket above 600
+        (300, 512, 512),      # 1 tile
+        (5000, 2048, 2048),   # 3 tiles of ceil(5000/3)=1667 -> bucket 2048
+        (4100, 1920, 1920),   # non-pow2 HBM cap respected
+    ],
+)
+def test_auto_width_buckets(n_genes, auto_width, want_width):
+    from illico_tpu.models.wilcoxon import compute_tile_bounds
+
+    bounds, width = compute_tile_bounds(n_genes, "auto", 1, auto_width)
+    assert width == want_width
+    assert bounds[0][0] == 0 and bounds[-1][1] == n_genes
+    # tiles cover the axis contiguously
+    for (a, b), (c, d) in zip(bounds, bounds[1:]):
+        assert b == c
+
+
+def test_auto_width_small_input_single_batch():
+    from illico_tpu.models.wilcoxon import compute_tile_bounds
+
+    bounds, width = compute_tile_bounds(100, "auto", 4, 2048)
+    assert bounds == [(0, 100)] and width == 100
