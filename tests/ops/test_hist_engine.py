@@ -184,3 +184,43 @@ def test_hist_stat_bounds_ovr_vs_ovo():
     assert fc == 40 * 127
     u2_ovr, _ = he.hist_stat_bounds(layout, -1, 128)
     assert u2_ovr == 2.0 * 40 * 100
+
+
+def test_overflow_fallback_recomputes_exactly():
+    """Columns with counts beyond the largest table take the sort engine."""
+    from unittest import mock
+
+    from scipy import stats
+
+    from illico_tpu import asymptotic_wilcoxon_arrays
+    from illico_tpu.models import wilcoxon as wmod
+
+    rng = np.random.RandomState(8)
+    X = rng.poisson(3.0, (2000, 9)).astype(np.float32)
+    X[:, 4] += 2000  # far beyond the 512-entry table
+    groups = np.array(["a", "b", "c"])[rng.randint(0, 3, 2000)]
+
+    recomputed = {}
+    orig = wmod.WilcoxonRunner._recompute_with_sort_engine
+
+    def spy(self, cols, consume_stats):
+        recomputed["cols"] = np.array(cols)
+        return orig(self, cols, consume_stats)
+
+    with mock.patch.object(
+        wmod.WilcoxonRunner, "_recompute_with_sort_engine", spy
+    ):
+        df = asymptotic_wilcoxon_arrays(
+            X, groups, reference="a", engine="hist", progress=False
+        )
+
+    np.testing.assert_array_equal(recomputed["cols"], [4])
+    Xd = X.astype(np.float64)
+    for j in (3, 4, 5):
+        r = stats.mannwhitneyu(
+            Xd[groups == "a", j], Xd[groups == "b", j],
+            alternative="two-sided", method="asymptotic",
+        )
+        got = df.loc[("b", f"gene_{j}")]
+        assert got["statistic"] == r.statistic
+        assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue
