@@ -68,3 +68,30 @@ def test_fold_change_zero_ref_is_inf():
     counts = np.array([3, 5])
     fc = fold_change_from_summed_expr(sums, counts, 0)
     assert fc[1, 0] == np.inf
+
+
+def test_degenerate_all_tied_column_gives_p_one():
+    """All-tied columns hit the reference's tie_corr <= 1e-9 guard -> p = 1
+    (``/root/reference/illico/utils/math.py:96,117-118``), end to end."""
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    rng = np.random.RandomState(0)
+    X = rng.poisson(2.0, (400, 3)).astype(np.float32)
+    X[:, 1] = 7.0  # constant column: every value tied
+    groups = np.array(["a", "b"] * 200)
+    df = asymptotic_wilcoxon_arrays(X, groups, reference="a", progress=False)
+    assert df.loc[("b", "gene_1"), "p_value"] == 1.0
+    # constant column: same mean in both groups -> fold change exactly 1
+    np.testing.assert_allclose(df.loc[("b", "gene_1"), "fold_change"], 1.0)
+    # neighbors unaffected
+    assert df.loc[("b", "gene_0"), "p_value"] < 1.0
+
+
+def test_enable_compilation_cache(tmp_path):
+    import jax
+
+    import illico_tpu
+
+    path = illico_tpu.enable_compilation_cache(str(tmp_path / "cc"))
+    assert (tmp_path / "cc").is_dir()
+    assert jax.config.jax_compilation_cache_dir == path
