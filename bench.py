@@ -86,9 +86,12 @@ def main():
     # the standard low-noise estimator (pytest-benchmark's primary
     # statistic, as used by the reference's own suite).
     times = []
-    for _ in range(2 if quick else 4):
+    for i in range(2 if quick else 4):
         if not quick:
-            time.sleep(150)  # refill the link's burst credit (see verify notes)
+            # Refill the link's burst credit between runs (see verify skill
+            # notes). The first sleep is short so a first result line is
+            # emitted early; later runs usually improve on it.
+            time.sleep(60 if i == 0 else 150)
         t0 = time.perf_counter()
         res = asymptotic_wilcoxon_arrays(
             X, groups, reference="non-targeting", progress=False,
