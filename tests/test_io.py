@@ -82,3 +82,31 @@ def test_adata_shape_validation():
     X = np.zeros((5, 3), np.float32)
     with pytest.raises(ValueError, match="obs has"):
         AnnDataLite(X, obs=pd.DataFrame({"a": [1, 2]}))
+
+
+def test_anndatalite_shape_validation():
+    import pytest as _pytest
+
+    X = np.zeros((5, 3), np.float32)
+    with _pytest.raises(ValueError, match="obs has"):
+        AnnDataLite(X, obs=pd.DataFrame(index=range(4)))
+    with _pytest.raises(ValueError, match="var has"):
+        AnnDataLite(X, var=pd.DataFrame(index=range(7)))
+
+
+def test_backed_csc_footprint_and_toarray(tmp_path):
+    from scipy import sparse
+
+    from illico_tpu.io.h5ad import read_h5ad
+
+    rng = np.random.RandomState(3)
+    dense = rng.poisson(1.0, (50, 8)).astype(np.float32)
+    dense[rng.rand(50, 8) < 0.6] = 0
+    ad = AnnDataLite(sparse.csc_matrix(dense),
+                     pd.DataFrame({"g": ["a"] * 50}),
+                     pd.DataFrame(index=[f"v{i}" for i in range(8)]))
+    p = tmp_path / "x.h5ad"
+    ad.write_h5ad(p)
+    backed = read_h5ad(p, backed="r")
+    np.testing.assert_array_equal(backed.X.toarray(), dense)
+    assert backed.X.nbytes > 0
