@@ -76,3 +76,18 @@ def test_memory_estimator_orders_of_magnitude():
     host, device = estimate_memory_usage(handler, info, 100, 1)
     assert host > 4 * 100 * 3 * 8
     assert device >= 1000 * 100 * 4
+
+
+def test_prefetch_threads_equivalence(tmp_path):
+    """n_threads only changes prefetch parallelism, never results."""
+    adata = _big_adata(n=5000, t=300)
+    path = tmp_path / "t.h5ad"
+    adata.write_h5ad(path)
+    ad = read_h5ad(path, backed="r")
+    kw = dict(
+        is_log1p=False, group_keys="pert", reference="p0",
+        batch_size=32, progress=False,
+    )
+    a = asymptotic_wilcoxon(ad, n_threads=1, **kw)
+    b = asymptotic_wilcoxon(ad, n_threads=4, **kw)
+    pd.testing.assert_frame_equal(a, b)
