@@ -444,6 +444,11 @@ class WilcoxonRunner:
 
         counts = info.counts.astype(np.float64)
         n_total = float(info.n_cells)
+        # Group whose fc-sum row travels as a separate per-column array
+        # (hist engine only; -1 elsewhere).
+        fc_split = int(
+            getattr(self.tile_fn, "_statics", {}).get("fc_split_code", -1)
+        )
 
         def consume_stats(cols, out):
             """Scatter one device output dict into the result arrays at the
@@ -475,9 +480,13 @@ class WilcoxonRunner:
                     + np.asarray(out["tie_seg"])[:, :w]
                 )
             # Fold change is column-independent: finalize it per tile.
+            fc_sums = np.asarray(out["fc_sums"], dtype=np.float64)[:, :w]
+            split_col = out.get("fc_split_col")
+            if split_col is not None and fc_split >= 0:
+                fc_sums = np.array(fc_sums)  # own the buffer before patching
+                fc_sums[fc_split] = np.asarray(split_col, np.float64)[:w]
             fc[:, cols] = fold_change_from_summed_expr(
-                np.asarray(out["fc_sums"], dtype=np.float64)[:, :w],
-                info.counts, info.ref_code,
+                fc_sums, info.counts, info.ref_code,
             )
             # p-values per tile: overlaps the (slow) host tail with device
             # compute and result transfers of subsequent tiles.
@@ -516,6 +525,7 @@ class WilcoxonRunner:
                         buf, spec, counts, int(info.ref_code), w_cols,
                         self.alternative, self.use_continuity,
                         self.tie_correct, results, lb,
+                        fc_split_code=fc_split,
                     ):
                         if pbar is not None:
                             pbar.update(G * w_cols)

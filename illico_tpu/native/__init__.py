@@ -88,6 +88,7 @@ def _load():
         ct.argtypes = [
             ctypes.c_void_p, ctypes.c_int32,  # u2, dtype
             ctypes.c_void_p, ctypes.c_int32,  # fc_sums, dtype
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # fc_split_col
             ctypes.c_void_p, ctypes.c_int32,  # tie_seg, dtype
             ctypes.c_void_p, ctypes.c_int32,  # tie_col, dtype
             ctypes.POINTER(ctypes.c_double),  # counts
@@ -107,7 +108,7 @@ def _load():
 
 # dtype encodings of illico_consume_tile (keep in sync with _tail.cpp)
 (_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64, _DT_U16, _DT_F48, _DT_U24,
- _DT_U32) = range(8)
+ _DT_U32, _DT_U40) = range(9)
 
 
 def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: int):
@@ -123,7 +124,11 @@ def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: in
     if dtype == np.uint32:
         return ptr, _DT_U24 if nbytes == 3 * size else _DT_U32
     if dtype == np.float64:
-        return ptr, _DT_F48 if nbytes == 6 * size else _DT_F64_HILO
+        if nbytes == 6 * size:
+            return ptr, _DT_F48
+        if nbytes == 5 * size:
+            return ptr, _DT_U40
+        return ptr, _DT_F64_HILO
     raise ValueError(f"unsupported packed dtype {dtype}")
 
 
@@ -138,13 +143,16 @@ def consume_tile_native(
     tie_correct: bool,
     results: np.ndarray,
     col0: int,
+    fc_split_code: int = -1,
 ) -> bool:
     """Fused consume of one packed tile buffer into ``results``.
 
     ``spec`` maps key -> (shape, dtype, offset, nbytes) for the packed
     buffer (hist-engine layout); ``results`` is the (G, n_genes, 3) float64
-    output.  Returns False when the native library (or a needed key) is
-    unavailable so the caller can fall back to numpy.
+    output.  ``fc_split_code >= 0`` marks the group whose expression-sum row
+    travels as the separate per-column ``fc_split_col`` array.  Returns
+    False when the native library (or a needed key) is unavailable so the
+    caller can fall back to numpy.
     """
     lib = _load()
     if lib is None or alternative not in _ALTERNATIVES:
@@ -154,6 +162,8 @@ def consume_tile_native(
     tie_col_key = "tie_col" if is_ovr else "tie_ref_col"
     needed = {u2_key, "fc_sums", tie_col_key} | (set() if is_ovr else {"tie_seg"})
     if not needed <= spec.keys():
+        return False
+    if fc_split_code >= 0 and "fc_split_col" not in spec:
         return False
     if not (buf.flags.c_contiguous and results.flags.c_contiguous):
         return False
@@ -170,6 +180,10 @@ def consume_tile_native(
     u2_p, u2_d = enc(u2_key)
     fc_p, fc_d = enc("fc_sums")
     tc_p, tc_d = enc(tie_col_key)
+    if fc_split_code >= 0:
+        fs_p, fs_d = enc("fc_split_col")
+    else:
+        fs_p, fs_d = 0, _DT_U32
     if is_ovr:
         ts_p, ts_d = 0, _DT_F64_HILO
     else:
@@ -178,6 +192,8 @@ def consume_tile_native(
     lib.illico_consume_tile(
         ctypes.c_void_p(u2_p), ctypes.c_int32(u2_d),
         ctypes.c_void_p(fc_p), ctypes.c_int32(fc_d),
+        ctypes.c_void_p(fs_p), ctypes.c_int32(fs_d),
+        ctypes.c_int64(fc_split_code),
         ctypes.c_void_p(ts_p), ctypes.c_int32(ts_d),
         ctypes.c_void_p(tc_p), ctypes.c_int32(tc_d),
         counts.ctypes.data_as(dp),

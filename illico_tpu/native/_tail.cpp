@@ -96,6 +96,8 @@ void illico_pvalue_tail(
 //   dtype 6: uint32 < 2^24 packed as a uint16 lo block followed by a
 //            uint8 hi block (3 bytes per value)
 //   dtype 7: plain uint32
+//   dtype 8: float64 < 2^40 packed as a uint32 lo block followed by a
+//            uint8 hi block (5 bytes per value)
 //   dtype 3: plain float64
 
 namespace {
@@ -127,6 +129,12 @@ inline double decode(const void* p, int32_t dtype, int64_t idx, int64_t n) {
     }
     case 7:
       return static_cast<double>(static_cast<const uint32_t*>(p)[idx]);
+    case 8: {
+      const uint32_t* lo = static_cast<const uint32_t*>(p);
+      const uint8_t* hi = reinterpret_cast<const uint8_t*>(lo + n);
+      return static_cast<double>(hi[idx]) * 4294967296.0 +
+             static_cast<double>(lo[idx]);
+    }
     default:
       return static_cast<const double*>(p)[idx];
   }
@@ -158,6 +166,9 @@ extern "C" {
 
 // u2:      (G, T) U2 (OVO) or R2 (OVR), dtype u2_dtype
 // fc_sums: (G, T) per-group expression sums, dtype fc_dtype
+// fc_split_col: (T,) expression sums of group fc_split_code, shipped
+//          separately so one huge group does not widen the whole fc_sums
+//          encoding; null/-1 when absent (then fc_sums holds every row)
 // tie_seg: (G, T) OVO per-pair tie increment, dtype tie_seg_dtype; ignored
 //          for OVR
 // tie_col: (T,)  OVO: ref-only tie sum; OVR: full-column tie sum
@@ -167,6 +178,7 @@ extern "C" {
 void illico_consume_tile(
     const void* u2, int32_t u2_dtype,
     const void* fc_sums, int32_t fc_dtype,
+    const void* fc_split_col, int32_t fc_split_dtype, int64_t fc_split_code,
     const void* tie_seg, int32_t tie_seg_dtype,
     const void* tie_col, int32_t tie_col_dtype,
     const double* counts,
@@ -190,13 +202,19 @@ void illico_consume_tile(
     for (int64_t g = 0; g < G; ++g)
       for (int64_t j = 0; j < w; ++j)
         col_scratch[j] += decode(fc_sums, fc_dtype, g * T + j, GT);
+    if (fc_split_code >= 0)  // split row is zeroed inside fc_sums
+      for (int64_t j = 0; j < w; ++j)
+        col_scratch[j] += decode(fc_split_col, fc_split_dtype, j, T);
   } else {
     // True division (not reciprocal-multiply): bit-exact match with the
     // numpy path `group_sums / counts[:, None]`.
     const double nref_cells = counts[ref_code];
     for (int64_t j = 0; j < w; ++j)
       col_scratch[j] =
-          decode(fc_sums, fc_dtype, ref_code * T + j, GT) / nref_cells;
+          (fc_split_code == ref_code
+               ? decode(fc_split_col, fc_split_dtype, j, T)
+               : decode(fc_sums, fc_dtype, ref_code * T + j, GT)) /
+          nref_cells;
   }
 
   for (int64_t g = 0; g < G; ++g) {
@@ -214,7 +232,9 @@ void illico_consume_tile(
         tie = decode(tie_col, tie_col_dtype, j, T);
         if (!ovr) tie += decode(tie_seg, tie_seg_dtype, g * T + j, GT);
       }
-      const double s = decode(fc_sums, fc_dtype, g * T + j, GT);
+      const double s = g == fc_split_code
+                           ? decode(fc_split_col, fc_split_dtype, j, T)
+                           : decode(fc_sums, fc_dtype, g * T + j, GT);
       const double mu_tgt = s / nt;
       double mu_ref;
       if (ovr) {

@@ -203,24 +203,48 @@ def hist_pass(
 # Wire-order rank by bytes-per-element: keep every block's start aligned to
 # its word size.  8- and 4-byte encodings first; the 6-byte split-f64
 # encoding next (its uint32 block needs 4-byte alignment, which 8/4-byte
-# predecessors guarantee, and it leaves 2-byte alignment behind); the
-# 3-byte split-u32 next (uint16 block + uint8 block; element counts are
-# even for the (G, 128k) arrays involved, so 2-byte alignment holds);
-# 2-byte and single-byte entries last.
-_WIRE_RANK = {8: 0, 4: 1, 6: 2, 3: 3, 2: 4, 1: 5}
+# predecessors guarantee, and an even element count keeps 4-byte alignment
+# behind it); the 5-byte split-f64 next (uint32 block + uint8 block; element
+# counts divisible by 4 keep 4-byte alignment); the 3-byte split-u32 next
+# (uint16 block + uint8 block; even element counts keep 2-byte alignment);
+# 2-byte and single-byte entries last.  build_pack_spec enforces the element
+# count requirements (trivially met by the (G, 128k) arrays involved).
+_WIRE_RANK = {8: 0, 4: 1, 6: 2, 5: 3, 3: 4, 2: 5, 1: 6}
+
+# Element-count divisibility required to keep every later block aligned.
+_WIRE_COUNT_ALIGN = {6: 2, 5: 4, 3: 2}
 
 
-def _wire_bytes(v, dtype: np.dtype, narrow) -> int:
+def _narrow_bytes(key, dtype: np.dtype, narrow) -> int | None:
+    """Wire-byte override for ``key``, or None for the natural width.
+
+    ``narrow`` is either a mapping ``key -> wire bytes`` or (legacy) a set of
+    keys taking the default narrow width of their dtype (float64 -> 6,
+    uint32 -> 3).
+    """
+    if isinstance(narrow, (set, frozenset)):
+        if key not in narrow:
+            return None
+        return 6 if dtype.itemsize == 8 else 3 if dtype == np.uint32 else None
+    return narrow.get(key)
+
+
+def _wire_bytes(key, dtype: np.dtype, narrow) -> int:
     if dtype == np.bool_:
         return 1
-    if dtype.itemsize == 8 and narrow:
-        return 6
-    if dtype == np.uint32 and narrow:
-        return 3
+    wb = _narrow_bytes(key, dtype, narrow)
+    if wb is not None:
+        if dtype.itemsize == 8 and wb in (5, 6):
+            return wb
+        if dtype == np.uint32 and wb == 3:
+            return 3
+        raise ValueError(
+            f"narrow encoding {wb}B unsupported for dtype {dtype} (key {key!r})"
+        )
     return dtype.itemsize
 
 
-def pack_device_outputs(out: dict, narrow_keys: frozenset = frozenset()):
+def pack_device_outputs(out: dict, narrow=frozenset()):
     """Bit-pack a dict of device arrays into one 1-D uint8 buffer.
 
     Every transferred array costs a host<->device round trip; over a
@@ -231,32 +255,39 @@ def pack_device_outputs(out: dict, narrow_keys: frozenset = frozenset()):
     where spec is ``[(key, shape, dtype, offset, nbytes)]`` (all static);
     :func:`unpack_host_buffer` inverts it.  The encoding of an entry is
     implied by ``nbytes / size``: 8 = (hi, lo) uint32 words, 6 = uint32 lo
-    block + uint16 hi block (values < 2**48), 3 = uint16 lo block + uint8
-    hi block (uint32 values < 2**24), natural width otherwise.
+    block + uint16 hi block (values < 2**48), 5 = uint32 lo block + uint8
+    hi block (values < 2**40), 3 = uint16 lo block + uint8 hi block
+    (uint32 values < 2**24), natural width otherwise.
 
     float64 arrays must hold non-negative integers < 2**53 (true of every
     statistic here: rank/U sums and tie sums are exact counts): TPU x64
     emulation cannot *bitcast* 64-bit types, so they are split
     arithmetically into word blocks and reassembled on host — exact either
-    way.  Keys in ``narrow_keys`` take the split encoding their dtype
-    allows (float64 -> 6 bytes, uint32 -> 3 bytes).
+    way.  ``narrow`` maps keys to their wire bytes (float64 -> 6 or 5,
+    uint32 -> 3); a plain set takes each dtype's default narrow width.
     """
-    spec = build_pack_spec(out, narrow_keys)
+    spec = build_pack_spec(out, narrow)
     parts = []
     for k, _shape, _dtype, _off, _nbytes in spec:
         v = out[k]
         dtype = np.dtype(v.dtype)
         if dtype == np.bool_:
             v = v.astype(jnp.uint8)
-        wb = _wire_bytes(v, dtype, k in narrow_keys)
-        if dtype.itemsize == 8 and wb == 6:
+        wb = _wire_bytes(k, dtype, narrow)
+        if dtype.itemsize == 8 and wb in (5, 6):
             hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
             lo = v - hi * jnp.asarray(2.0**32, v.dtype)
+            hi_words = (
+                hi.astype(jnp.uint8)
+                if wb == 5
+                else jax.lax.bitcast_convert_type(
+                    hi.astype(jnp.uint16), jnp.uint8
+                )
+            )
             b = jnp.concatenate([
                 jax.lax.bitcast_convert_type(
                     lo.astype(jnp.uint32), jnp.uint8).reshape(-1),
-                jax.lax.bitcast_convert_type(
-                    hi.astype(jnp.uint16), jnp.uint8).reshape(-1),
+                hi_words.reshape(-1),
             ])
         elif dtype == np.uint32 and wb == 3:
             b = jnp.concatenate([
@@ -281,7 +312,7 @@ def pack_device_outputs(out: dict, narrow_keys: frozenset = frozenset()):
     return jnp.concatenate(parts), spec
 
 
-def build_pack_spec(out: dict, narrow_keys: frozenset = frozenset()) -> list:
+def build_pack_spec(out: dict, narrow=frozenset()) -> list:
     """Offsets/encodings for :func:`pack_device_outputs`.
 
     ``out`` values only need ``.shape`` and ``.dtype`` (abstract values
@@ -290,21 +321,21 @@ def build_pack_spec(out: dict, narrow_keys: frozenset = frozenset()) -> list:
     items = sorted(
         out.items(),
         key=lambda kv: (
-            _WIRE_RANK[
-                _wire_bytes(kv[1], np.dtype(kv[1].dtype), kv[0] in narrow_keys)
-            ],
+            _WIRE_RANK[_wire_bytes(kv[0], np.dtype(kv[1].dtype), narrow)],
             kv[0],
         ),
     )
     spec, off = [], 0
     for k, v in items:
         dtype = np.dtype(v.dtype)
-        wb = _wire_bytes(v, dtype, k in narrow_keys)
+        wb = _wire_bytes(k, dtype, narrow)
         size = int(np.prod(v.shape))
-        if wb == 3 and size % 2:
+        align = _WIRE_COUNT_ALIGN.get(wb, 1)
+        if size % align:
             raise ValueError(
-                f"3-byte encoding of '{k}' needs an even element count "
-                f"(got {size}) to keep later blocks 2-byte aligned."
+                f"{wb}-byte encoding of '{k}' needs an element count "
+                f"divisible by {align} (got {size}) to keep later blocks "
+                "aligned."
             )
         nbytes = size * wb
         spec.append((k, tuple(v.shape), dtype, off, nbytes))
@@ -324,6 +355,12 @@ def unpack_host_buffer(buf, spec) -> dict:
         elif dtype.itemsize == 8 and nbytes == 6 * size:
             lo = v[: 4 * size].view(np.uint32)
             hi = v[4 * size :].view(np.uint16)
+            out[k] = (
+                hi.astype(np.float64) * 2.0**32 + lo.astype(np.float64)
+            ).astype(dtype).reshape(shape)
+        elif dtype.itemsize == 8 and nbytes == 5 * size:
+            lo = v[: 4 * size].view(np.uint32)
+            hi = v[4 * size :]  # uint8 block
             out[k] = (
                 hi.astype(np.float64) * 2.0**32 + lo.astype(np.float64)
             ).astype(dtype).reshape(shape)
@@ -362,6 +399,41 @@ def _pick_exact_dtype(bound: float) -> str:
     return "float64"
 
 
+_DTYPE_WIRE_BYTES = {
+    "uint16": 2, "uint24": 3, "int32": 4, "u40": 5, "f48": 6, "float64": 8,
+}
+
+
+def _pick_tie_dtype(bound: float) -> str:
+    """Narrowest exact wire encoding for tie sums bounded by ``bound``.
+
+    Extends :func:`_pick_exact_dtype` with the split-float64 tiers ("u40" =
+    uint32 lo + uint8 hi, 5 bytes; "f48" = uint32 lo + uint16 hi, 6 bytes):
+    OVO tie increments often exceed int32 but sit far below 2**48.
+    """
+    d = _pick_exact_dtype(bound)
+    if d != "float64":
+        return d
+    if bound < 2.0**40:
+        return "u40"
+    if bound < 2.0**48:
+        return "f48"
+    return "float64"
+
+
+def _narrow_map(statics: dict) -> dict:
+    """Wire-narrowing map (key -> wire bytes) implied by contract statics."""
+    narrow = {}
+    tie_wb = _DTYPE_WIRE_BYTES[statics.get("tie_dtype", "float64")]
+    if statics["ref_code"] != -1 and tie_wb in (3, 5, 6):
+        narrow["tie_seg"] = tie_wb
+    if statics["u2_dtype"] == "uint24":
+        narrow["R2" if statics["ref_code"] == -1 else "U2"] = 3
+    if statics["fc_dtype"] == "uint24" and statics.get("compute_fc", True):
+        narrow["fc_sums"] = 3
+    return narrow
+
+
 def hist_contract(
     hist,
     pads_per_group,
@@ -372,15 +444,27 @@ def hist_contract(
     compute_fc: bool = True,
     u2_dtype: str = "float64",
     fc_dtype: str = "float64",
+    tie_dtype: str = "float64",
+    fc_split_code: int = -1,
     pack: bool = False,
-    tie48: bool = False,
 ):
     """64-bit stage: all statistics as exact float64 histogram contractions.
     Same output contract as :func:`illico_tpu.ops.rank_engine.rank_stats_tile`,
     plus ``overflow_cols`` marking columns for the sort-engine fallback.
 
-    ``u2_dtype`` / ``fc_dtype`` narrow the transferred U2 (or R2) and fc_sums
-    arrays; callers pass dtypes proven exact by :func:`_pick_exact_dtype`.
+    ``u2_dtype`` / ``fc_dtype`` / ``tie_dtype`` narrow the transferred U2 (or
+    R2), fc_sums and tie_seg arrays; callers pass dtypes proven exact by
+    :func:`_pick_exact_dtype` / :func:`_pick_tie_dtype`.  In OVO the reference
+    group's own rows of U2 and tie_seg are zeroed on device: the consumer
+    overwrites that row with sentinels (``sparse_ovo.py:140-143``), and
+    zeroing makes the narrow encodings sound with bounds that exclude the
+    (much larger) reference self-row.
+
+    ``fc_split_code >= 0`` ships that group's expression-sum row as a
+    separate per-column uint32 array (``fc_split_col``) and zeroes it inside
+    ``fc_sums``: one huge group (typically the OVO control) otherwise forces
+    a wider encoding onto the whole (G, T) array.
+
     ``pack=True`` returns one uint8 buffer (see :func:`pack_device_outputs`)
     so each tile's results cross the link as a single transfer."""
     h = hist.astype(jnp.float64)  # (G, V, T)
@@ -388,6 +472,9 @@ def hist_contract(
     # "uint24" is a wire encoding (3 bytes), not a device dtype.
     u2_dev = "uint32" if u2_dtype == "uint24" else u2_dtype
     fc_dev = "uint32" if fc_dtype == "uint24" else fc_dtype
+    tie_dev = {"uint24": "uint32", "u40": "float64", "f48": "float64"}.get(
+        tie_dtype, tie_dtype
+    )
 
     # Columns where any real (non-pad) row matched no table entry need the
     # exact sort-engine fallback.
@@ -401,7 +488,11 @@ def hist_contract(
         # Values are the integer counts themselves; for log1p data the mean of
         # expm1(x) is the mean of the underlying counts.
         vals = jnp.arange(h.shape[1], dtype=jnp.float64)[:, None]
-        out["fc_sums"] = jnp.sum(h * vals, axis=1).astype(fc_dev)
+        fc_sums = jnp.sum(h * vals, axis=1)
+        if fc_split_code >= 0:
+            out["fc_split_col"] = fc_sums[fc_split_code].astype(jnp.uint32)
+            fc_sums = fc_sums.at[fc_split_code].set(0.0)
+        out["fc_sums"] = fc_sums.astype(fc_dev)
 
     if ref_code == -1:
         r2tab = 2.0 * ccum_excl + c + 1.0
@@ -413,21 +504,22 @@ def hist_contract(
         a = h[ref_code]  # (V-1, T)
         acum_excl = jnp.cumsum(a, axis=0) - a
         u2tab = 2.0 * acum_excl + a
-        out["U2"] = jnp.sum(h * u2tab[None], axis=1).astype(u2_dev)
-        out["tie_ref_col"] = jnp.sum(a * a * a - a, axis=0)
-        out["tie_seg"] = jnp.sum(
+        u2 = jnp.sum(h * u2tab[None], axis=1)
+        tie_seg = jnp.sum(
             (h * h * h - h) + 3.0 * a[None] * h * (a[None] + h), axis=1
         )
+        # Zero the reference group's own (sentinel) rows so narrow encodings
+        # bounded by the non-reference group sizes stay exact.
+        out["U2"] = u2.at[ref_code].set(0.0).astype(u2_dev)
+        out["tie_ref_col"] = jnp.sum(a * a * a - a, axis=0)
+        out["tie_seg"] = tie_seg.at[ref_code].set(0.0).astype(tie_dev)
 
     if pack:
-        narrow = set()
-        if tie48:
-            narrow.add("tie_seg")
-        if u2_dtype == "uint24":
-            narrow.add("R2" if ref_code == -1 else "U2")
-        if fc_dtype == "uint24" and compute_fc:
-            narrow.add("fc_sums")
-        return pack_device_outputs(out, frozenset(narrow))[0]
+        narrow = _narrow_map(dict(
+            ref_code=ref_code, u2_dtype=u2_dtype, fc_dtype=fc_dtype,
+            tie_dtype=tie_dtype, compute_fc=compute_fc,
+        ))
+        return pack_device_outputs(out, narrow)[0]
     return out
 
 
@@ -441,7 +533,7 @@ _jitted_hist_contract = jax.jit(
     hist_contract,
     static_argnames=(
         "n_pad", "ref_code", "is_log1p", "compute_fc", "u2_dtype", "fc_dtype",
-        "pack", "tie48",
+        "tie_dtype", "fc_split_code", "pack",
     ),
 )
 
@@ -549,11 +641,34 @@ def make_hist_tile_fn(
     u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
     real = real_rows_per_group(layout).astype(np.float64)
     if ref_code == -1 or real.size == 0:
-        tie48 = False  # OVR has no per-(group, column) tie array
+        tie_dtype = "float64"  # OVR has no per-(group, column) tie array
     else:
         others = np.delete(real, ref_code)
-        n_pair_max = real[ref_code] + (others.max() if others.size else 0.0)
-        tie48 = n_pair_max**3 < 2.0**48
+        r_ref = real[ref_code]
+        m_max = others.max() if others.size else 0.0
+        # Non-reference rows of tie_seg are maximized by concentrating both
+        # samples in one value bucket: (M^3 - M) + 3*R*M*(R + M).  The
+        # reference self-row (~7 R^3, far larger) is zeroed on device.
+        tie_bound = (m_max**3 - m_max) + 3.0 * r_ref * m_max * (r_ref + m_max)
+        tie_dtype = _pick_tie_dtype(tie_bound)
+
+    # One huge group (typically the OVO control, often 100x the others)
+    # otherwise dictates fc_sums' encoding for the whole (G, T) array; ship
+    # its row separately (uint32, per-column — negligible) when that lets
+    # the bulk array drop a tier.
+    fc_dtype = _pick_exact_dtype(fc_bound)
+    fc_split_code = -1
+    if compute_fc and real.size > 1:
+        big = int(np.argmax(real))
+        rest_bound = np.delete(real, big).max() * (v_buckets - 1)
+        row_bound = real[big] * (v_buckets - 1)
+        rest_dtype = _pick_exact_dtype(rest_bound)
+        if (
+            row_bound < 2.0**32
+            and _DTYPE_WIRE_BYTES[rest_dtype] < _DTYPE_WIRE_BYTES[fc_dtype]
+        ):
+            fc_split_code = big
+            fc_dtype = rest_dtype
 
     contract_statics = dict(
         n_pad=float(layout.n_pad),
@@ -561,8 +676,9 @@ def make_hist_tile_fn(
         is_log1p=bool(is_log1p),
         compute_fc=compute_fc,
         u2_dtype=_pick_exact_dtype(u2_bound),
-        fc_dtype=_pick_exact_dtype(fc_bound),
-        tie48=bool(tie48),
+        fc_dtype=fc_dtype,
+        tie_dtype=tie_dtype,
+        fc_split_code=fc_split_code,
     )
     pass_args = (perm, pad_mask, table, blk_group, blk_flush)
     state = {"pass": None, "contract": None}
@@ -574,21 +690,17 @@ def make_hist_tile_fn(
             hist_spec = jax.ShapeDtypeStruct(
                 (layout.n_groups, table.shape[0], t_pad), jnp.float32
             )
-            statics = {k: v for k, v in contract_statics.items() if k != "tie48"}
             with jax.enable_x64(True):
                 abstract = jax.eval_shape(
-                    functools.partial(hist_contract, **statics, pack=False),
+                    functools.partial(
+                        hist_contract, **contract_statics, pack=False
+                    ),
                     hist_spec,
                     jax.ShapeDtypeStruct(ppg.shape, ppg.dtype),
                 )
-            narrow = set()
-            if contract_statics["tie48"]:
-                narrow.add("tie_seg")
-            if contract_statics["u2_dtype"] == "uint24":
-                narrow.add("R2" if contract_statics["ref_code"] == -1 else "U2")
-            if contract_statics["fc_dtype"] == "uint24":
-                narrow.add("fc_sums")
-            spec_cache[t_cols] = build_pack_spec(abstract, frozenset(narrow))
+            spec_cache[t_cols] = build_pack_spec(
+                abstract, _narrow_map(contract_statics)
+            )
         return spec_cache[t_cols]
 
     def find_spec(buf_size: int) -> dict | None:

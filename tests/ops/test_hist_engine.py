@@ -74,6 +74,116 @@ def test_pick_exact_dtype(bound, expected):
     assert he._pick_exact_dtype(bound) == expected
 
 
+@pytest.mark.parametrize(
+    "bound,expected",
+    [
+        (100.0, "uint16"),
+        (2.0**16, "uint24"),
+        (2.0**24, "int32"),
+        (2.0**31, "u40"),
+        (2.0**40, "f48"),
+        (2.0**48, "float64"),
+    ],
+)
+def test_pick_tie_dtype(bound, expected):
+    assert he._pick_tie_dtype(bound) == expected
+
+
+def test_pack_unpack_u40():
+    """5-byte split-f64 encoding: values < 2**40, uint32 lo + uint8 hi."""
+    vals = np.array(
+        [[0.0, 1.0, 2.0**40 - 1.0, 2.0**32], [7.0, 2.0**33 + 9.0, 3.0, 12.0]]
+    )
+    out = {
+        "tie_seg": jnp.asarray(vals, jnp.float64),
+        "overflow_cols": jnp.asarray(np.array([False, True, False, False])),
+    }
+    buf, spec = he.pack_device_outputs(out, {"tie_seg": 5})
+    by_key = {s[0]: s for s in spec}
+    assert by_key["tie_seg"][4] == 8 * 5  # 8 values x 5 bytes
+    assert by_key["tie_seg"][3] % 4 == 0  # uint32 sub-block aligned
+    back = he.unpack_host_buffer(np.asarray(buf), spec)
+    np.testing.assert_array_equal(np.asarray(back["tie_seg"]), vals)
+
+
+def test_pack_count_alignment_guard():
+    """Split encodings reject element counts that would misalign later blocks."""
+    bad = {"tie_seg": jnp.zeros((3, 1), jnp.float64)}  # 3 values, 5B each
+    with pytest.raises(ValueError, match="divisible by 4"):
+        he.build_pack_spec(bad, {"tie_seg": 5})
+    bad3 = {"U2": jnp.zeros((3, 1), jnp.uint32)}
+    with pytest.raises(ValueError, match="divisible by 2"):
+        he.build_pack_spec(bad3, {"U2": 3})
+
+
+def test_fc_split_and_narrow_tiers_end_to_end():
+    """A huge control group triggers the fc-row split and narrow tie tiers.
+
+    The dominant group otherwise forces fc_sums (and, via its self-row,
+    tie_seg) into wide encodings; with the split + device ref-row zeroing,
+    statistics still match scipy exactly through both the native and the
+    numpy consume paths.
+    """
+    from scipy import stats
+
+    import illico_tpu.native as native
+    from illico_tpu import asymptotic_wilcoxon_arrays
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    rng = np.random.RandomState(17)
+    n_ref, n_g = 5000, 60
+    labels = np.array(["ctl"] * n_ref + ["a"] * n_g + ["b"] * (n_g - 7))
+    rng.shuffle(labels)
+    X = rng.poisson(2.0, (labels.size, 10)).astype(np.float32)
+    X[rng.rand(*X.shape) < 0.6] = 0
+
+    _, info = encode_and_count_groups(labels, "ctl")
+    runner = WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False, engine="hist"
+    )
+    statics = runner.tile_fn._statics
+    # the huge control is split out and the bulk fc array drops to uint16
+    assert statics["fc_split_code"] == info.ref_code
+    assert statics["fc_dtype"] == "uint16"
+    # tie bound ~3*R*M*(R+M) ~ 4.6e9: the 5-byte u40 tier, not f48
+    assert statics["tie_dtype"] == "u40"
+    assert statics["u2_dtype"] == "uint24"
+
+    def oracle(df):
+        Xd = X.astype(np.float64)
+        ref = labels == "ctl"
+        for g in ("a", "b"):
+            tgt = labels == g
+            for j in range(X.shape[1]):
+                r = stats.mannwhitneyu(
+                    Xd[ref, j], Xd[tgt, j],
+                    alternative="two-sided", method="asymptotic",
+                )
+                got = df.loc[(g, f"gene_{j}")]
+                assert got["statistic"] == r.statistic, (g, j)
+                assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue, (g, j)
+                mu_t = Xd[tgt, j].mean()
+                mu_r = Xd[ref, j].mean()
+                want_fc = np.inf if mu_r == 0 else mu_t / mu_r
+                np.testing.assert_allclose(
+                    got["fold_change"], want_fc, rtol=1e-9, err_msg=f"{g},{j}"
+                )
+
+    oracle(asymptotic_wilcoxon_arrays(X, labels, reference="ctl", progress=False))
+
+    # numpy fallback consume path (fc_split_col restored host-side)
+    lib, tried = native._LIB, native._TRIED
+    try:
+        native._LIB, native._TRIED = None, True
+        oracle(
+            asymptotic_wilcoxon_arrays(X, labels, reference="ctl", progress=False)
+        )
+    finally:
+        native._LIB, native._TRIED = lib, tried
+
+
 def test_pack_unpack_u24():
     out = {
         "U2": jnp.asarray(
