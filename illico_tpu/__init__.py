@@ -18,7 +18,7 @@ __all__ = [
     "asymptotic_wilcoxon_arrays",
     "enable_compilation_cache",
 ]
-__version__ = "0.1.3"
+__version__ = "0.1.4"
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
