@@ -35,6 +35,22 @@ REF_SENTINEL_P = 1.0
 REF_SENTINEL_U = -1.0
 
 
+def _copy_to_host_async(out) -> None:
+    """Kick off device->host copies for a tile's output(s), best-effort.
+
+    Purely a prefetch hint: ``jax.device_get`` remains the completion
+    point.  Dict outputs (sort engine / mesh path) prefetch per leaf.
+    """
+    try:
+        if isinstance(out, dict):
+            for v in out.values():
+                v.copy_to_host_async()
+        else:
+            out.copy_to_host_async()
+    except Exception:  # backends without async copies: device_get still works
+        pass
+
+
 @dataclasses.dataclass
 class RunResult:
     pvalues: np.ndarray      # (n_groups, n_genes) float64
@@ -316,6 +332,11 @@ class WilcoxonRunner:
         numba's signature-keyed dispatch cache.
         """
         t0 = time.perf_counter()
+        # Build/load the native consumer now (g++ on first ever use): keeps
+        # the one-time cost out of the streaming loop.
+        from illico_tpu.native import native_available
+
+        native_available()
         if hasattr(self.tile_fn, "precompile"):
             self.tile_fn.precompile(
                 (self.layout.n_cells, self.tile_width),
@@ -505,6 +526,7 @@ class WilcoxonRunner:
         unpack = getattr(self.tile_fn, "unpack", None)
         find_spec = getattr(self.tile_fn, "find_spec", None)
         alt_ok = self.alternative in ("two-sided", "greater", "less")
+        consume_path = {"native": 0, "numpy": 0}
 
         def consume(lb, ub, out):
             w_cols = ub - lb
@@ -527,9 +549,11 @@ class WilcoxonRunner:
                         self.tie_correct, results, lb,
                         fc_split_code=fc_split,
                     ):
+                        consume_path["native"] += 1
                         if pbar is not None:
                             pbar.update(G * w_cols)
                         return
+            consume_path["numpy"] += 1
             if unpack is not None and not isinstance(out, dict):
                 out = unpack(out)  # zero-copy views into the pulled buffer
             consume_stats(np.arange(lb, ub), out)
@@ -568,6 +592,12 @@ class WilcoxonRunner:
                 (lb, ub, self._run_tile(self._fetch(lb, ub)))
                 for lb, ub in self.bounds
             ]
+            # Start device->host copies for every tile now: the link then
+            # keeps streaming later tiles while this thread runs the
+            # statistical tail on earlier ones (device_get alone would
+            # leave the link idle during each consume).
+            for _, _, pout in pending:
+                _copy_to_host_async(pout)
             t_dispatch = time.perf_counter() - t0
             for plb, pub, pout in pending:
                 t0 = time.perf_counter()
@@ -605,7 +635,9 @@ class WilcoxonRunner:
                             self._fetch, *self.bounds[nxt]
                         )
                     t0 = time.perf_counter()
-                    pending.append((lb, ub, self._run_tile(tile_np)))
+                    out = self._run_tile(tile_np)
+                    _copy_to_host_async(out)
+                    pending.append((lb, ub, out))
                     t_dispatch += time.perf_counter() - t0
                     if len(pending) > depth:
                         pull_one()
@@ -615,9 +647,11 @@ class WilcoxonRunner:
             pbar.close()
         logger.trace(
             "Tile loop: %.2fs total (fetch-wait %.2fs, dispatch %.2fs, "
-            "result-pull %.2fs, consume %.2fs) over %d tiles.",
+            "result-pull %.2fs, consume %.2fs) over %d tiles "
+            "(consume path: %d native, %d numpy).",
             time.perf_counter() - t_loop0, t_fetch, t_dispatch, t_pull,
             t_consume[0], len(self.bounds),
+            consume_path["native"], consume_path["numpy"],
         )
 
         # -- exact sort-engine fallback for histogram-overflow columns -------

@@ -404,12 +404,12 @@ _DTYPE_WIRE_BYTES = {
 }
 
 
-def _pick_tie_dtype(bound: float) -> str:
-    """Narrowest exact wire encoding for tie sums bounded by ``bound``.
+def _pick_split_dtype(bound: float) -> str:
+    """Narrowest exact wire encoding, including split-float64 tiers.
 
-    Extends :func:`_pick_exact_dtype` with the split-float64 tiers ("u40" =
-    uint32 lo + uint8 hi, 5 bytes; "f48" = uint32 lo + uint16 hi, 6 bytes):
-    OVO tie increments often exceed int32 but sit far below 2**48.
+    Extends :func:`_pick_exact_dtype` with "u40" (uint32 lo + uint8 hi,
+    5 bytes) and "f48" (uint32 lo + uint16 hi, 6 bytes): OVO tie increments
+    and OVR rank sums routinely exceed int32 but sit far below 2**48.
     """
     d = _pick_exact_dtype(bound)
     if d != "float64":
@@ -421,14 +421,18 @@ def _pick_tie_dtype(bound: float) -> str:
     return "float64"
 
 
+_pick_tie_dtype = _pick_split_dtype  # historical alias
+
+
 def _narrow_map(statics: dict) -> dict:
     """Wire-narrowing map (key -> wire bytes) implied by contract statics."""
     narrow = {}
     tie_wb = _DTYPE_WIRE_BYTES[statics.get("tie_dtype", "float64")]
     if statics["ref_code"] != -1 and tie_wb in (3, 5, 6):
         narrow["tie_seg"] = tie_wb
-    if statics["u2_dtype"] == "uint24":
-        narrow["R2" if statics["ref_code"] == -1 else "U2"] = 3
+    u2_wb = _DTYPE_WIRE_BYTES[statics["u2_dtype"]]
+    if u2_wb in (3, 5, 6):
+        narrow["R2" if statics["ref_code"] == -1 else "U2"] = u2_wb
     if statics["fc_dtype"] == "uint24" and statics.get("compute_fc", True):
         narrow["fc_sums"] = 3
     return narrow
@@ -469,12 +473,11 @@ def hist_contract(
     so each tile's results cross the link as a single transfer."""
     h = hist.astype(jnp.float64)  # (G, V, T)
     out = {}
-    # "uint24" is a wire encoding (3 bytes), not a device dtype.
-    u2_dev = "uint32" if u2_dtype == "uint24" else u2_dtype
-    fc_dev = "uint32" if fc_dtype == "uint24" else fc_dtype
-    tie_dev = {"uint24": "uint32", "u40": "float64", "f48": "float64"}.get(
-        tie_dtype, tie_dtype
-    )
+    # "uint24"/"u40"/"f48" are wire encodings, not device dtypes.
+    _dev = {"uint24": "uint32", "u40": "float64", "f48": "float64"}
+    u2_dev = _dev.get(u2_dtype, u2_dtype)
+    fc_dev = _dev.get(fc_dtype, fc_dtype)
+    tie_dev = _dev.get(tie_dtype, tie_dtype)
 
     # Columns where any real (non-pad) row matched no table entry need the
     # exact sort-engine fallback.
@@ -675,7 +678,7 @@ def make_hist_tile_fn(
         ref_code=int(ref_code),
         is_log1p=bool(is_log1p),
         compute_fc=compute_fc,
-        u2_dtype=_pick_exact_dtype(u2_bound),
+        u2_dtype=_pick_split_dtype(u2_bound),
         fc_dtype=fc_dtype,
         tie_dtype=tie_dtype,
         fc_split_code=fc_split_code,

@@ -116,6 +116,36 @@ def test_pack_count_alignment_guard():
         he.build_pack_spec(bad3, {"U2": 3})
 
 
+def test_ovr_r2_u40_tier_end_to_end(monkeypatch):
+    """OVR rank sums ride the 5-byte u40 tier (bound 2*M*n exceeds int32 at
+    production scale); force the tier on a small dataset and check scipy
+    parity through the native consume path."""
+    from scipy import stats
+
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    monkeypatch.setattr(
+        he, "_pick_split_dtype", lambda bound: "u40" if bound >= 2**16 else "uint16"
+    )
+    rng = np.random.RandomState(3)
+    X = rng.poisson(2.0, (3000, 8)).astype(np.float32)
+    X[rng.rand(*X.shape) < 0.5] = 0
+    groups = np.array(["a", "b", "c"])[rng.randint(0, 3, 3000)]
+
+    df = asymptotic_wilcoxon_arrays(X, groups, progress=False)  # OVR
+    Xd = X.astype(np.float64)
+    for g in ("a", "b", "c"):
+        tgt = groups == g
+        for j in range(8):
+            r = stats.mannwhitneyu(
+                Xd[~tgt, j], Xd[tgt, j],
+                alternative="two-sided", method="asymptotic",
+            )
+            got = df.loc[(g, f"gene_{j}")]
+            assert got["statistic"] == r.statistic, (g, j)
+            assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue, (g, j)
+
+
 def test_fc_split_and_narrow_tiers_end_to_end():
     """A huge control group triggers the fc-row split and narrow tie tiers.
 
