@@ -312,6 +312,39 @@ def test_log1p_data_exact_parity():
             np.testing.assert_allclose(got["fold_change"], want_fc, rtol=1e-9)
 
 
+def test_production_scale_tier_selection():
+    """K562-scale group sizes select the narrow tiers the bench relies on:
+    OVO = 10 B/test (u24 + u40 + u16/split), OVR = 7 B/test (u40 + u16/split).
+    """
+    from illico_tpu.ops.rank_engine import build_padded_layout
+    from illico_tpu.utils.groups import encode_and_count_groups
+
+    rng = np.random.RandomState(0)
+    n, G = 300_000, 2000
+    labels = rng.randint(1, G, n)
+    labels[rng.rand(n) < 0.1] = 0  # ~30k-cell control, ~150-cell groups
+
+    def statics_for(ref):
+        _, info = encode_and_count_groups(labels, ref)
+        layout = build_padded_layout(info.perm, info.indptr)
+        fn = he.make_hist_tile_fn(
+            layout, ref_code=info.ref_code, is_log1p=False, interpret=True
+        )
+        return fn._statics, info
+
+    ovo, info = statics_for(0)
+    assert ovo["u2_dtype"] == "uint24"      # 2*R*M ~ 1.1e7
+    assert ovo["tie_dtype"] == "u40"        # M^3+3RM(R+M) ~ 5e11
+    assert ovo["fc_dtype"] == "uint16"      # rest bound ~ M*127
+    assert ovo["fc_split_code"] == info.ref_code
+
+    ovr, _ = statics_for(None)
+    assert ovr["u2_dtype"] == "u40"         # 2*M_max*n ~ 1.8e10
+    assert ovr["tie_dtype"] == "float64"    # OVR ships no (G, T) tie array
+    assert ovr["fc_dtype"] == "uint16"
+    assert ovr["fc_split_code"] >= 0
+
+
 def test_hist_stat_bounds_ovr_vs_ovo():
     from illico_tpu.ops.rank_engine import build_padded_layout
     from illico_tpu.utils.groups import encode_and_count_groups
