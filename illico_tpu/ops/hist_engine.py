@@ -244,6 +244,20 @@ def _wire_bytes(key, dtype: np.dtype, narrow) -> int:
     return dtype.itemsize
 
 
+def _split_hi_lo_words(v):
+    """Exact (hi, lo) 32-bit word split of non-negative integers < 2**53.
+
+    Integer shift/mask after an (exact) float64 -> int64 cast.  The obvious
+    ``hi = floor(v / 2**32); lo = v - hi * 2**32`` is NOT safe on TPU: the
+    x64-emulation's division mis-rounds when ``v mod 2**32`` sits at the
+    2**32 - 1 boundary (floor lands one too high, the negative remainder
+    clamps to 0 in the uint cast, and the decoded value comes back off by
+    one) — caught by the wire-format roundtrip tests on hardware.
+    """
+    u = v.astype(jnp.int64)
+    return (u >> jnp.int64(32)), (u & jnp.int64(0xFFFFFFFF))
+
+
 def pack_device_outputs(out: dict, narrow=frozenset()):
     """Bit-pack a dict of device arrays into one 1-D uint8 buffer.
 
@@ -275,8 +289,7 @@ def pack_device_outputs(out: dict, narrow=frozenset()):
             v = v.astype(jnp.uint8)
         wb = _wire_bytes(k, dtype, narrow)
         if dtype.itemsize == 8 and wb in (5, 6):
-            hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
-            lo = v - hi * jnp.asarray(2.0**32, v.dtype)
+            hi, lo = _split_hi_lo_words(v)
             hi_words = (
                 hi.astype(jnp.uint8)
                 if wb == 5
@@ -297,8 +310,7 @@ def pack_device_outputs(out: dict, narrow=frozenset()):
                 (v >> jnp.uint32(16)).astype(jnp.uint8).reshape(-1),
             ])
         elif np.dtype(v.dtype).itemsize == 8:
-            hi = jnp.floor(v / jnp.asarray(2.0**32, v.dtype))
-            lo = v - hi * jnp.asarray(2.0**32, v.dtype)
+            hi, lo = _split_hi_lo_words(v)
             words = jnp.concatenate(
                 [hi.astype(jnp.uint32).reshape(-1),
                  lo.astype(jnp.uint32).reshape(-1)]

@@ -9,8 +9,10 @@ from illico_tpu.ops import hist_engine as he
 
 def test_pack_unpack_roundtrip():
     out = {
+        # 2**52 - 1 has a low word of 2**32 - 1: the boundary where a
+        # floor-division split mis-rounds under TPU x64 emulation.
         "tie_seg": jnp.asarray(
-            np.array([[0.0, 1.0, 2.0**48 + 12345.0], [7.0, 2.0**33, 3.0]]),
+            np.array([[0.0, 1.0, 2.0**48 + 12345.0], [7.0, 2.0**33, 2.0**52 - 1.0]]),
             jnp.float64,
         ),
         "tie_ref_col": jnp.asarray(np.array([5.0, 0.0, 2.0**40]), jnp.float64),
@@ -39,8 +41,9 @@ def test_pack_unpack_roundtrip():
 def test_pack_unpack_roundtrip_narrow_encodings():
     """uint16 entries and the 6-byte split-f64 ('f48') encoding."""
     out = {
+        # 2**47 - 1: low word at the 2**32 - 1 split boundary (see above).
         "tie_seg": jnp.asarray(
-            np.array([[0.0, 1.0, 2.0**47 + 987.0], [2.0**33, 5.0, 3.0]]),
+            np.array([[0.0, 1.0, 2.0**47 + 987.0], [2.0**33, 5.0, 2.0**47 - 1.0]]),
             jnp.float64,
         ),
         "tie_ref_col": jnp.asarray(np.array([5.0, 2.0**40, 0.0]), jnp.float64),
