@@ -504,7 +504,8 @@ class WilcoxonRunner:
             fc_sums = np.asarray(out["fc_sums"], dtype=np.float64)[:, :w]
             split_col = out.get("fc_split_col")
             if split_col is not None and fc_split >= 0:
-                fc_sums = np.array(fc_sums)  # own the buffer before patching
+                # An active split implies a narrowed wire dtype, so the
+                # asarray above copied: patching the row is private.
                 fc_sums[fc_split] = np.asarray(split_col, np.float64)[:w]
             fc[:, cols] = fold_change_from_summed_expr(
                 fc_sums, info.counts, info.ref_code,
