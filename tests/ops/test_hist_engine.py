@@ -109,6 +109,56 @@ def test_pack_unpack_u40():
     np.testing.assert_array_equal(np.asarray(back["tie_seg"]), vals)
 
 
+def test_pack_unpack_fuzz_all_tiers():
+    """Seeded fuzz: random dicts over every encoding tier round-trip exactly.
+
+    Values are drawn adversarially near the 32-bit word boundary (lo word
+    in {0, 1, 2**32-2, 2**32-1}) as well as uniformly, since the split
+    encodings historically mis-rounded exactly there on TPU x64 emulation.
+    """
+    rng = np.random.RandomState(42)
+
+    def draw(bound, shape):
+        u = rng.randint(0, 4, size=shape)
+        lo = np.choose(u, [0, 1, 2**32 - 2, 2**32 - 1])
+        hi = rng.randint(0, max(1, int(bound // 2**32) + 1), size=shape)
+        v = np.minimum(hi.astype(np.float64) * 2.0**32 + lo, bound - 1)
+        mix = rng.rand(*shape) < 0.5
+        return np.where(
+            mix, np.floor(rng.rand(*shape) * bound), v
+        ).astype(np.float64)
+
+    for trial in range(8):
+        g = rng.choice([1, 2, 3, 5])
+        t = rng.choice([4, 8, 12])
+        out, narrow = {}, {}
+        out["a_f64"] = jnp.asarray(draw(2.0**52, (g, t)), jnp.float64)
+        out["b_f48"] = jnp.asarray(draw(2.0**48, (g, t)), jnp.float64)
+        narrow["b_f48"] = 6
+        out["c_u40"] = jnp.asarray(draw(2.0**40, (g, t)), jnp.float64)
+        narrow["c_u40"] = 5
+        out["d_u24"] = jnp.asarray(
+            rng.randint(0, 2**24, (g, t)).astype(np.uint32)
+        )
+        narrow["d_u24"] = 3
+        out["e_i32"] = jnp.asarray(rng.randint(0, 2**31 - 1, (g, t), np.int64).astype(np.int32))
+        out["f_u16"] = jnp.asarray(rng.randint(0, 2**16, (g, t)).astype(np.uint16))
+        out["g_f32"] = jnp.asarray(rng.rand(t).astype(np.float32))
+        out["h_bool"] = jnp.asarray(rng.rand(t) < 0.5)
+        if (g * t) % 4:
+            narrow.pop("c_u40")  # 5-byte tier needs counts divisible by 4
+            if (g * t) % 2:
+                narrow.pop("b_f48")
+                narrow.pop("d_u24")
+        buf, spec = he.pack_device_outputs(out, narrow)
+        back = he.unpack_host_buffer(np.asarray(buf), spec)
+        for k in out:
+            np.testing.assert_array_equal(
+                np.asarray(back[k]), np.asarray(out[k]), err_msg=f"{trial}:{k}"
+            )
+            assert back[k].dtype == np.asarray(out[k]).dtype
+
+
 def test_pack_count_alignment_guard():
     """Split encodings reject element counts that would misalign later blocks."""
     bad = {"tie_seg": jnp.zeros((3, 1), jnp.float64)}  # 3 values, 5B each
