@@ -13,6 +13,7 @@ mesh sharding in :mod:`illico_tpu.parallel` for multi-chip runs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Literal
@@ -33,6 +34,20 @@ __all__ = ["WilcoxonRunner", "RunResult", "compute_tile_bounds"]
 # reference sparse kernels (``ovo/sparse_ovo.py:140-143``).
 REF_SENTINEL_P = 1.0
 REF_SENTINEL_U = -1.0
+
+
+@functools.partial(jax.jit, static_argnames="w")
+def _sampled_device_max(x, w: int):
+    """Max over the leading ``w`` columns of a device-resident matrix.
+
+    Jitted (and therefore persistently cacheable) on purpose: eager
+    slicing + max would build fresh eager executables in every process —
+    minutes per cold start over a remote-compile link, all spent inside
+    runner setup.
+    """
+    import jax.numpy as jnp
+
+    return jnp.max(jax.lax.dynamic_slice_in_dim(x, 0, w, axis=1))
 
 
 def _copy_to_host_async(out) -> None:
@@ -261,24 +276,22 @@ class WilcoxonRunner:
             n_genes = self.n_genes
             w = max(1, min(24, n_genes))
             if self._device_resident:
-                # One head window: each distinct slice offset is a separate
-                # eager executable (expensive over remote-compile links).
-                starts = [0]
+                # One jitted head-window slice+max: jit executables hit the
+                # persistent compile cache, so warm processes skip the
+                # minutes-long eager compiles a remote-compile link charges.
+                vmax = float(
+                    np.asarray(_sampled_device_max(self.handler.data, w))
+                )
             else:
                 starts = sorted({0, max(0, n_genes // 2 - w // 2), n_genes - w})
-            vmax = 0.0
-            for s in starts:
-                tile = self.handler.fetch_tile(s, min(s + w, n_genes))
-                if self._device_resident:
-                    import jax.numpy as jnp
-
-                    m = float(np.asarray(jnp.max(tile)))
-                else:
+                vmax = 0.0
+                for s in starts:
+                    tile = self.handler.fetch_tile(s, min(s + w, n_genes))
                     arr = np.asarray(tile)
                     # cap sampled rows: O(100k) values per window
                     step = max(1, arr.shape[0] * arr.shape[1] // 100_000)
                     m = float(np.max(arr.ravel()[::step])) if arr.size else 0.0
-                vmax = max(vmax, m)
+                    vmax = max(vmax, m)
         except Exception:  # sampling must never break the run
             return DEFAULT_V
         counts_max = float(np.expm1(vmax)) if self.is_log1p else vmax
