@@ -72,10 +72,18 @@ def main():
     # Warm-up/compile pass on one auto-width tile (2048 columns at this
     # scale): compiles the exact executables of the real run while pulling
     # only ~50 MB (the reference likewise precompiles outside its timer,
-    # tests/test_asymptotic_wilcoxon.py:334).
+    # tests/test_asymptotic_wilcoxon.py:334).  The slice is jitted so its
+    # executable persists in the on-disk compile cache (an eager slice
+    # recompiles in every process — a minute over a remote-compile link).
+    import jax
+    from jax import lax
+
     warm_cols = min(2048, n_genes)
+    warm_X = jax.jit(
+        lambda x: lax.dynamic_slice_in_dim(x, 0, warm_cols, axis=1)
+    )(X)
     _ = asymptotic_wilcoxon_arrays(
-        X[:, :warm_cols], groups, reference="non-targeting", progress=False,
+        warm_X, groups, reference="non-targeting", progress=False,
     )
     compile_s = time.perf_counter() - t_setup
 
