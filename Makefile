@@ -2,10 +2,16 @@
 # (/root/reference/tox.ini:22-85: unit-tests, speed-bench-*, memory-bench-*,
 # *-quick smoke variants).
 
-.PHONY: test bench bench-quick speed-bench memory-bench bench-suite
+.PHONY: test test-tpu stress bench bench-quick speed-bench memory-bench bench-suite
 
 test:
 	python -m pytest tests/ -q
+
+test-tpu:         ## the same suite against the real TPU backend
+	ILLICO_TPU_TEST_TPU=1 python -m pytest tests/ -q
+
+stress:           ## randomized hardware exactness stress (real TPU)
+	ILLICO_TPU_TEST_TPU=1 python -m pytest -m tpu_stress -q -s
 
 bench:            ## headline K562-scale benchmark (run on TPU)
 	python bench.py
