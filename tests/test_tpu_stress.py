@@ -55,6 +55,10 @@ def test_randomized_tpu_stress():
             else counts.astype(np.float32)
         )
         labels = r.randint(0, g, n)
+        if r.randint(2):
+            # Skewed control (~60% of cells): the production regime where
+            # the fc-row split and the u40/f48 wire tiers engage.
+            labels[r.rand(n) < 0.6] = 0
         labels[:g] = np.arange(g)
         groups = np.array([f"g{v}" for v in labels])
         ref = "g0" if mode == "ovo" else None
