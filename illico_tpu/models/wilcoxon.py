@@ -155,9 +155,24 @@ class WilcoxonRunner:
         self.value_dtype = np.float64 if in_dtype == np.float64 else np.float32
 
         # Engine selection: the histogram engine is the fast path for count
-        # data (raw or log1p); float64 inputs take the exact sort engine.
+        # data (raw or log1p); float64 inputs take the exact sort engine,
+        # as do datasets whose largest group exceeds the histogram's f32
+        # bucket-exactness bound.
         if engine == "auto":
+            from illico_tpu.ops.hist_engine import HIST_EXACT_MAX_GROUP
+
             engine = "sort" if self.value_dtype == np.float64 else "hist"
+            if (
+                engine == "hist"
+                and group_info.counts.size
+                and int(group_info.counts.max()) >= HIST_EXACT_MAX_GROUP
+            ):
+                logger.trace(
+                    "Largest group (%d cells) exceeds the histogram "
+                    "engine's exact-count bound; using the sort engine.",
+                    int(group_info.counts.max()),
+                )
+                engine = "sort"
         self.engine = engine
         self._v_buckets = self._pick_v_buckets() if engine == "hist" else 0
 
@@ -215,12 +230,14 @@ class WilcoxonRunner:
                 is_log1p=self.is_log1p,
                 interpret=self._interpret,
                 v_buckets=self._v_buckets,
+                device=self.device,
             )
         else:
             self.tile_fn = make_tile_fn(
                 self.layout,
                 ref_code=group_info.ref_code,
                 is_log1p=self.is_log1p,
+                device=self.device,
             )
         logger.trace(
             "Engine %s, tile width %d for %d genes (%d tiles).",
@@ -257,7 +274,10 @@ class WilcoxonRunner:
         else:
             host_budget = 1e9
             cap = min(2048, int(host_budget / (self.handler.shape[0] * 4.0)))
-        w = max(512, min(cap, t_hbm))
+        # The memory budgets are ceilings: never let the wide-tile
+        # preference override them (a 512 floor here once doubled the HBM
+        # workspace past the budget at G=5000).
+        w = min(cap, t_hbm)
         return max(128, (w // 128) * 128)
 
     def _pick_v_buckets(self) -> int:
@@ -413,7 +433,8 @@ class WilcoxonRunner:
     def _recompute_with_sort_engine(self, cols: np.ndarray, consume_stats) -> None:
         """Exact recomputation of selected columns via the sort engine."""
         sort_fn = make_tile_fn(
-            self.layout, ref_code=self.info.ref_code, is_log1p=self.is_log1p
+            self.layout, ref_code=self.info.ref_code, is_log1p=self.is_log1p,
+            device=self.device,
         )
         fw = self._FALLBACK_WIDTH
         for s in range(0, cols.size, fw):

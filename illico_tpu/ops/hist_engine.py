@@ -52,6 +52,11 @@ __all__ = ["grouped_histograms", "hist_pass", "hist_contract", "make_hist_tile_f
 DEFAULT_V = 128  # table covers integer values 0..V-1; V must be a multiple of 8
 _ROW_BLOCK = BLOCK  # row blocks align with the group padding granularity
 
+# The Pallas sweep accumulates counts in float32: a single (group, value)
+# bucket stays exact only below 2^24.  Groups at or above this take the
+# sort engine (the runner's auto selection enforces it).
+HIST_EXACT_MAX_GROUP = 2**24
+
 
 # Rows fetched per grid step.  Group segments are padded to _ROW_BLOCK rows;
 # each step sweeps _SUPER_SUB aligned sub-blocks so the HBM->VMEM input DMAs
@@ -492,9 +497,13 @@ def hist_contract(
     tie_dev = _dev.get(tie_dtype, tie_dtype)
 
     # Columns where any real (non-pad) row matched no table entry need the
-    # exact sort-engine fallback.
-    n_real = jnp.float32(n_pad) - jnp.sum(pads_per_group).astype(jnp.float32)
-    matched = jnp.sum(hist, axis=(0, 1))  # (T,)
+    # exact sort-engine fallback.  Counted in float64: an f32 sum loses
+    # integer exactness at 2^24 and would silently stop flagging columns
+    # on very large datasets.
+    n_real = jnp.float64(n_pad) - jnp.sum(
+        pads_per_group.astype(jnp.float64)
+    )
+    matched = jnp.sum(h, axis=(0, 1))  # (T,) exact f64 counts
     out["overflow_cols"] = matched < n_real
 
     c = jnp.sum(h, axis=0)  # (V, T) global value counts
@@ -551,17 +560,6 @@ _jitted_hist_contract = jax.jit(
         "tie_dtype", "fc_split_code", "pack",
     ),
 )
-
-
-def build_block_flags(layout: PaddedLayout) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row-block (group id, is-last-block-of-group) prefetch arrays."""
-    nb = layout.n_pad // _ROW_BLOCK
-    blk_group = layout.grp[::_ROW_BLOCK].astype(np.int32)
-    assert blk_group.size == nb
-    blk_flush = np.zeros(nb, dtype=np.int32)
-    blk_flush[-1] = 1
-    blk_flush[:-1] = (blk_group[1:] != blk_group[:-1]).astype(np.int32)
-    return blk_group, blk_flush
 
 
 def make_value_table(v_buckets: int, is_log1p: bool) -> np.ndarray:
@@ -644,11 +642,29 @@ def make_hist_tile_fn(
     compute_fc: bool = True,
     v_buckets: int = DEFAULT_V,
     interpret: bool = False,
+    device=None,
 ):
-    """Histogram-engine tile function with the layout baked in."""
+    """Histogram-engine tile function with the layout baked in.
+
+    ``device`` commits the layout arrays to a specific device so the tile
+    function can run against tiles placed there (default: jax's default
+    device).
+    """
+    real_check = real_rows_per_group(layout)
+    if real_check.size and real_check.max() >= HIST_EXACT_MAX_GROUP:
+        raise ValueError(
+            f"Histogram engine requires every group below {HIST_EXACT_MAX_GROUP} "
+            f"cells for exact f32 bucket counts (largest group: "
+            f"{int(real_check.max())}); use engine='sort'."
+        )
     perm, pad_mask, table, blk_group, blk_flush, ppg = prepare_hist_inputs(
         layout, v_buckets, is_log1p
     )
+    if device is not None:
+        perm, pad_mask, table, blk_group, blk_flush, ppg = (
+            jax.device_put(a, device)
+            for a in (perm, pad_mask, table, blk_group, blk_flush, ppg)
+        )
     pass_statics = dict(n_groups=layout.n_groups, interpret=interpret)
 
     # Exact static bounds on the per-(group, column) integer statistics let
@@ -738,12 +754,19 @@ def make_hist_tile_fn(
         )
 
     def precompile(shape, dtype, device=None) -> None:
+        if device is not None:
+            # AOT lowering pins the default device; for an explicit target
+            # warm the jit caches instead (jit dispatch follows the
+            # committed device of its arguments).
+            _spec_for(shape[1])
+            x = jax.device_put(np.zeros(tuple(shape), dtype), device)
+            jax.device_get(run(x))
+            return
         key = (
             (tuple(shape), str(dtype)),
             tuple((tuple(a.shape), str(a.dtype)) for a in pass_args),
             tuple(sorted(pass_statics.items())),
             tuple(sorted(contract_statics.items())),
-            str(device),
         )
         cached = _AOT_CACHE.get(key)
         if cached is None:

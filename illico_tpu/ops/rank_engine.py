@@ -57,6 +57,13 @@ BLOCK = 32
 
 _I32_MAX = np.int32(2**31 - 1)
 
+# Largest padded row count for which the int32 block-partial segment sums
+# are provably exact: per-element integer payloads are bounded by
+# 3*n_pad + 2 (OVO qu2 = 2*ref_less + ref_eq; OVR r2 = first + last + 2),
+# and a BLOCK-row partial sum of them must stay below 2^31.  Beyond this
+# (~22M rows) rank_stats_tile switches the segment sums to float64.
+_I32_SAFE_N_PAD = (2**31 // BLOCK - 3) // 3
+
 
 class PaddedLayout(NamedTuple):
     """Static (host-side) description of the group-contiguous padded layout."""
@@ -191,6 +198,15 @@ def rank_stats_tile(
     """
     n_pad = perm.shape[0]
     t_cols = x_raw.shape[1]
+    # Static trace-time branch: above _I32_SAFE_N_PAD rows the int32
+    # block-partial sums could wrap, so the segment sums switch to float64
+    # (slower, still exact below 2^53).
+    i32_blocks_safe = n_pad <= _I32_SAFE_N_PAD
+
+    def _int_segment_sum(q, starts, ends):
+        if i32_blocks_safe:
+            return _block_segment_sum_i32(q, starts, ends)
+        return _block_segment_sum_f64(q.astype(jnp.float64), starts, ends)
 
     # --- Assemble the padded, group-contiguous tile -------------------------
     gathered = jnp.take(x_raw, jnp.clip(perm, 0, x_raw.shape[0] - 1), axis=0)
@@ -223,7 +239,7 @@ def rank_stats_tile(
         # Restore layout order; zero payloads on (statically-placed) pad slots.
         _, r2_l = jax.lax.sort((spos, r2), dimension=0, num_keys=1)
         r2_l = jnp.where(pad2d, 0, r2_l)
-        out["R2"] = _block_segment_sum_i32(r2_l, block_starts, block_ends)
+        out["R2"] = _int_segment_sum(r2_l, block_starts, block_ends)
     else:
         # ---------------- OVO: all pairs (ref, g) from one sort -------------
         sv, sg, spos = jax.lax.sort((xp, grp2d, pos), dimension=0, num_keys=2)
@@ -264,7 +280,7 @@ def rank_stats_tile(
         _, qu2_l, qtie_l = jax.lax.sort((spos, qu2, q_tie), dimension=0, num_keys=1)
         qu2_l = jnp.where(pad2d, 0, qu2_l)
         qtie_l = jnp.where(pad2d, 0.0, qtie_l)
-        out["U2"] = _block_segment_sum_i32(qu2_l, block_starts, block_ends)
+        out["U2"] = _int_segment_sum(qu2_l, block_starts, block_ends)
         out["tie_seg"] = _block_segment_sum_f64(qtie_l, block_starts, block_ends)
 
     return out
@@ -284,13 +300,24 @@ _jitted_rank_stats = jax.jit(
 _AOT_CACHE: dict = {}
 
 
-def make_tile_fn(layout: PaddedLayout, *, ref_code: int, is_log1p: bool, compute_fc: bool = True):
-    """Return a tile function with the layout baked in as device arrays."""
-    perm = jnp.asarray(layout.perm)
-    grp = jnp.asarray(layout.grp)
-    pad_mask = jnp.asarray(layout.pad_mask)
-    bs = jnp.asarray(layout.block_starts)
-    be = jnp.asarray(layout.block_ends)
+def make_tile_fn(
+    layout: PaddedLayout,
+    *,
+    ref_code: int,
+    is_log1p: bool,
+    compute_fc: bool = True,
+    device=None,
+):
+    """Return a tile function with the layout baked in as device arrays.
+
+    ``device`` commits the layout arrays to a specific device (default:
+    jax's default device)."""
+    put = (lambda a: jax.device_put(a, device)) if device is not None else jnp.asarray
+    perm = put(layout.perm)
+    grp = put(layout.grp)
+    pad_mask = put(layout.pad_mask)
+    bs = put(layout.block_starts)
+    be = put(layout.block_ends)
     layout_args = (perm, grp, pad_mask, bs, be)
     statics = dict(
         ref_code=int(ref_code), is_log1p=bool(is_log1p), compute_fc=compute_fc
@@ -298,11 +325,17 @@ def make_tile_fn(layout: PaddedLayout, *, ref_code: int, is_log1p: bool, compute
     state = {"compiled": None}
 
     def precompile(shape, dtype, device=None) -> None:
+        if device is not None:
+            # AOT lowering pins the default device; warm the jit cache with
+            # an argument committed to the target instead.
+            x = jax.device_put(np.zeros(tuple(shape), dtype), device)
+            with jax.enable_x64(True):
+                jax.device_get(_jitted_rank_stats(x, *layout_args, **statics))
+            return
         key = (
             (tuple(shape), str(dtype)),
             tuple((tuple(a.shape), str(a.dtype)) for a in layout_args),
             tuple(sorted(statics.items())),
-            str(device),
         )
         exe = _AOT_CACHE.get(key)
         if exe is None:

@@ -87,6 +87,15 @@ def encode_and_count_groups(
     import pandas as pd
 
     codes, uniques = pd.factorize(groups)
+    if codes.min(initial=0) < 0:
+        # factorize encodes missing labels (NaN/None/NaT) as -1; silently
+        # wrapping them into the last group would corrupt every statistic
+        # of that group.  Fail loudly instead.
+        n_bad = int(np.count_nonzero(codes < 0))
+        raise ValueError(
+            f"Group labels contain {n_bad} missing value(s) (NaN/None); "
+            "drop or fill those cells before running the test."
+        )
     uniques = np.asarray(uniques)
     order = np.argsort(uniques, kind="stable")
     rank = np.empty(order.size, dtype=np.int64)

@@ -140,9 +140,17 @@ class CSRDataHandler(DataHandler):
         indices, indptr = self.data.indices, self.data.indptr
         if indices.size:
             d = np.diff(indices)
-            row_starts = indptr[1:-1]  # positions where a new row begins
             bad = d < 0
-            bad[row_starts - 1] = False  # drops across row boundaries are fine
+            # Drops across row boundaries are fine.  A boundary at position
+            # p masks bad[p - 1]; boundaries at 0 (leading empty rows) and
+            # at nnz (trailing empty rows) touch no diff — without the
+            # clip, p == 0 wrapped to bad[-1] (masking a genuine unsorted
+            # pair) and p == nnz raised IndexError on valid input.
+            row_starts = indptr[1:-1]
+            row_starts = row_starts[
+                (row_starts > 0) & (row_starts < indices.size)
+            ]
+            bad[row_starts - 1] = False
             if bad.any():
                 raise ValueError(
                     "Input data matrix indices are not sorted. This is very "

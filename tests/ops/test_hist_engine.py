@@ -450,3 +450,46 @@ def test_overflow_fallback_recomputes_exactly():
         got = df.loc[("b", f"gene_{j}")]
         assert got["statistic"] == r.statistic
         assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue
+
+
+def test_auto_tile_width_respects_hbm_budget():
+    """The wide-tile preference must never override the HBM workspace
+    budget: at ~11k groups the budget allows <512 columns per tile."""
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    n_groups = 11_000
+    labels = np.arange(n_groups)
+    X = np.zeros((n_groups, 2048), np.float32)
+    _, info = encode_and_count_groups(labels, None)
+    runner = WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False, engine="hist"
+    )
+    t_hbm = int(8e9 / (n_groups * 128 * 12.0))
+    assert runner.tile_width <= ((t_hbm // 128) * 128)
+    assert runner.tile_width == 384
+
+
+def test_huge_group_takes_sort_engine(monkeypatch):
+    """Groups beyond the f32 bucket-exactness bound must not use the
+    histogram engine: auto falls back to sort, explicit hist raises."""
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.ops.rank_engine import build_padded_layout
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    monkeypatch.setattr(he, "HIST_EXACT_MAX_GROUP", 50)
+    rng = np.random.RandomState(0)
+    labels = np.array([0] * 60 + [1] * 10 + [2] * 10)
+    X = rng.poisson(2.0, (80, 8)).astype(np.float32)
+    _, info = encode_and_count_groups(labels, 0)
+
+    runner = WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False, engine="auto"
+    )
+    assert runner.engine == "sort"
+
+    layout = build_padded_layout(info.perm, info.indptr)
+    with pytest.raises(ValueError, match="sort"):
+        he.make_hist_tile_fn(layout, ref_code=0, is_log1p=False, interpret=True)

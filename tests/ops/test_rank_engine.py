@@ -132,3 +132,25 @@ def test_float64_input_path():
     out = {k: np.asarray(v) for k, v in fn(jnp.asarray(x)).items()}
     # ranks: group 0 holds ranks 1,2,3 -> R2 = 12; group 1: 4.5,4.5,6 -> R2 = 30
     np.testing.assert_array_equal(out["R2"][:, 0], [12.0, 30.0])
+
+
+def test_f64_segment_sum_fallback_exact(monkeypatch):
+    """Above the int32-safety row bound the engine switches its segment
+    sums to float64; results stay bit-exact vs the i32 path."""
+    import illico_tpu.ops.rank_engine as re_mod
+
+    rng = np.random.RandomState(9)
+    n, t, g = 901, 7, 4  # odd shape: forces a fresh trace under the patch
+    x = rng.poisson(3.0, (n, t)).astype(np.float32)
+    labels = rng.randint(0, g, n)
+    _, info = encode_and_count_groups(labels, 0)
+    layout = build_padded_layout(info.perm, info.indptr)
+
+    fn = make_tile_fn(layout, ref_code=0, is_log1p=False)
+    want = {k: np.asarray(v) for k, v in fn(jnp.asarray(x)).items()}
+
+    monkeypatch.setattr(re_mod, "_I32_SAFE_N_PAD", 8)  # force the f64 path
+    fn64 = make_tile_fn(layout, ref_code=0, is_log1p=False, compute_fc=False)
+    got = {k: np.asarray(v) for k, v in fn64(jnp.asarray(x)).items()}
+    for k in got:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)

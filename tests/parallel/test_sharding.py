@@ -78,3 +78,23 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("engine", ["hist", "sort"])
+def test_explicit_device_targeting(problem, engine):
+    """device= places layout arrays and compute on the requested device
+    (AOT precompile used to pin the default device and crash at dispatch)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    import pandas as pd
+
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    x, labels = problem
+    groups = np.array([f"p{v}" for v in labels])
+    kw = dict(reference="p0", engine=engine, progress=False)
+    df_default = asymptotic_wilcoxon_arrays(x, groups, **kw)
+    df_dev1 = asymptotic_wilcoxon_arrays(
+        x, groups, device=jax.devices()[1], **kw
+    )
+    pd.testing.assert_frame_equal(df_default, df_dev1)

@@ -110,3 +110,28 @@ def test_backed_csc_footprint_and_toarray(tmp_path):
     backed = read_h5ad(p, backed="r")
     np.testing.assert_array_equal(backed.X.toarray(), dense)
     assert backed.X.nbytes > 0
+
+
+def test_csr_validation_empty_boundary_rows():
+    """Empty first/last rows must neither crash validation nor mask errors."""
+    import scipy.sparse as sp
+
+    from illico_tpu.utils.registry import data_handler_registry
+
+    # Valid CSR whose LAST row is empty: indptr[-2] == nnz previously
+    # indexed one past the diff array (IndexError on valid input).
+    m = sp.csr_matrix(np.array([[1.0, 2.0], [3.0, 0.0], [0.0, 0.0]]))
+    assert m.indptr[-2] == m.nnz  # the boundary that used to go OOB
+    data_handler_registry.get(m).validate()  # must not raise
+
+    # Valid CSR whose FIRST row is empty (boundary at position 0).
+    m2 = sp.csr_matrix(np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 4.0]]))
+    data_handler_registry.get(m2).validate()
+
+    # Unsorted indices in the LAST row with an empty FIRST row: the
+    # boundary at 0 previously wrapped to bad[-1], masking exactly this.
+    m3 = sp.csr_matrix(np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 4.0]]))
+    assert m3.indptr[1] == 0
+    m3.indices[-2:] = m3.indices[-2:][::-1]  # unsort the final row pair
+    with pytest.raises(ValueError, match="not sorted"):
+        data_handler_registry.get(m3).validate()

@@ -38,3 +38,14 @@ def test_perm_groups_contiguous_and_stable():
         assert (np.diff(rows) > 0).all()
     # indptr consistent with counts
     np.testing.assert_array_equal(np.diff(info.indptr), info.counts)
+
+
+def test_missing_labels_raise():
+    """NaN/None labels must fail loudly, not silently join the last group."""
+    with pytest.raises(ValueError, match="missing value"):
+        encode_and_count_groups(np.array(["a", np.nan, "b"], dtype=object), None)
+    import pandas as pd
+
+    s = pd.Series(["a", None, "b"], dtype="category")
+    with pytest.raises(ValueError, match="missing value"):
+        encode_and_count_groups(s, "a")
