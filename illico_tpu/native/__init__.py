@@ -39,22 +39,36 @@ def _cache_dir() -> Path:
 
 
 def _build() -> Path | None:
-    src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
-    out = _cache_dir() / f"illico_tail_{tag}.so"
-    if out.exists():
-        return out
-    cxx = os.environ.get("CXX", "g++")
-    cmd = [
-        cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(out), "-lm",
-    ]
+    # Fully best-effort: any failure (unreadable source, read-only cache
+    # dir, missing compiler) must leave the caller on the numpy fallback,
+    # never crash the run.
     try:
+        src = _SRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        out = _cache_dir() / f"illico_tail_{tag}.so"
+        if out.exists():
+            return out
+        cxx = os.environ.get("CXX", "g++")
+        # Compile to a process-private temp path and move it into place
+        # atomically: concurrent builders (parallel test sessions sharing
+        # the cache) or a killed build must never leave a truncated .so
+        # at the final path, where it would be "cached" forever.
+        tmp = out.with_suffix(f".tmp{os.getpid()}")
+        cmd = [
+            cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(tmp), "-lm",
+        ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (OSError, subprocess.SubprocessError) as e:
+        os.replace(tmp, out)
+        return out
+    except Exception as e:  # noqa: BLE001 - best-effort by contract
         logger.debug("native tail build failed: %s", e)
+        try:
+            if "tmp" in locals() and tmp.exists():
+                tmp.unlink()
+        except OSError:
+            pass
         return None
-    return out
 
 
 def _load():
@@ -177,17 +191,22 @@ def consume_tile_native(
         shape, dtype, off, nbytes = spec[key]
         return _encode_packed(buf, shape, dtype, off, nbytes)
 
-    u2_p, u2_d = enc(u2_key)
-    fc_p, fc_d = enc("fc_sums")
-    tc_p, tc_d = enc(tie_col_key)
-    if fc_split_code >= 0:
-        fs_p, fs_d = enc("fc_split_col")
-    else:
-        fs_p, fs_d = 0, _DT_U32
-    if is_ovr:
-        ts_p, ts_d = 0, _DT_F64_HILO
-    else:
-        ts_p, ts_d = enc("tie_seg")
+    try:
+        u2_p, u2_d = enc(u2_key)
+        fc_p, fc_d = enc("fc_sums")
+        tc_p, tc_d = enc(tie_col_key)
+        if fc_split_code >= 0:
+            fs_p, fs_d = enc("fc_split_col")
+        else:
+            fs_p, fs_d = 0, _DT_U32
+        if is_ovr:
+            ts_p, ts_d = 0, _DT_F64_HILO
+        else:
+            ts_p, ts_d = enc("tie_seg")
+    except ValueError:
+        # A spec dtype this build does not know (e.g. a newer wire tier):
+        # degrade to the numpy consume path per the fallback contract.
+        return False
 
     lib.illico_consume_tile(
         ctypes.c_void_p(u2_p), ctypes.c_int32(u2_d),

@@ -26,11 +26,18 @@ _SQRT2 = np.sqrt(2.0)
 
 
 def _per_group_ok(arr: np.ndarray, shape: tuple) -> bool:
-    """True when ``arr`` broadcasts to ``shape`` as a per-row constant."""
+    """True when ``arr`` broadcasts to ``shape`` as a per-ROW constant.
+
+    The native tail consumes one sample size per group (row).  A 1-D
+    ``(n_groups,)`` array must NOT be accepted: numpy broadcasting aligns
+    it with the trailing (column) axis, so the numpy fallback would scale
+    per column — the two paths would silently disagree.  Only shapes whose
+    numpy broadcast is constant along each row qualify.
+    """
     if arr.ndim == 0:
         return True
     if arr.ndim == 1:
-        return arr.size in (1, shape[0])
+        return arr.size == 1
     if arr.ndim == 2:
         return arr.shape[1] == 1 and arr.shape[0] in (1, shape[0])
     return False

@@ -135,3 +135,76 @@ def test_csr_validation_empty_boundary_rows():
     m3.indices[-2:] = m3.indices[-2:][::-1]  # unsort the final row pair
     with pytest.raises(ValueError, match="not sorted"):
         data_handler_registry.get(m3).validate()
+
+
+def test_nullable_integer_boolean_columns_roundtrip(tmp_path):
+    """AnnData >= 0.8 nullable-integer/-boolean obs encodings read back."""
+    import h5py
+
+    from illico_tpu.io.h5ad import read_h5ad, write_h5ad
+    from illico_tpu.io.h5ad import AnnDataLite
+
+    X = np.zeros((3, 2), np.float32)
+    ad = AnnDataLite(X, pd.DataFrame({"g": ["a", "b", "a"]},
+                                     index=["c0", "c1", "c2"]))
+    p = tmp_path / "n.h5ad"
+    write_h5ad(ad, p)
+    # graft a masked (nullable) column pair the way anndata writes them
+    with h5py.File(p, "r+") as f:
+        for name, enc, values in (
+            ("n_counts", "nullable-integer", np.array([5, 0, 7], np.int32)),
+            ("flagged", "nullable-boolean", np.array([True, False, True])),
+        ):
+            cg = f["obs"].create_group(name)
+            cg.attrs["encoding-type"] = enc
+            cg.attrs["encoding-version"] = "0.1.0"
+            cg.create_dataset("values", data=values)
+            cg.create_dataset("mask", data=np.array([False, True, False]))
+        order = [c.decode() if isinstance(c, bytes) else c
+                 for c in f["obs"].attrs["column-order"]]
+        f["obs"].attrs["column-order"] = np.asarray(
+            order + ["n_counts", "flagged"], dtype=object
+        )
+    back = read_h5ad(p)
+    assert back.obs["n_counts"].tolist() == [5, pd.NA, 7]
+    assert back.obs["flagged"].tolist() == [True, pd.NA, True]
+
+
+def test_backed_mode_exposes_layers(tmp_path):
+    """anndata backs only X but still exposes layers; layer= must work."""
+    from illico_tpu.io.h5ad import AnnDataLite, read_h5ad, write_h5ad
+
+    rng = np.random.RandomState(0)
+    X = rng.poisson(2.0, (40, 6)).astype(np.float32)
+    ad = AnnDataLite(X, layers={"counts": (X * 2).astype(np.float32)})
+    p = tmp_path / "l.h5ad"
+    write_h5ad(ad, p)
+    backed = read_h5ad(p, backed="r")
+    assert "counts" in backed.layers
+    np.testing.assert_array_equal(backed.layers["counts"], X * 2)
+
+
+def test_write_rejects_exotic_sparse(tmp_path):
+    from scipy import sparse as sp
+
+    from illico_tpu.io.h5ad import AnnDataLite, write_h5ad
+
+    X = sp.coo_matrix(np.eye(3, dtype=np.float32))
+    with pytest.raises(TypeError, match="convert to CSR or CSC"):
+        write_h5ad(AnnDataLite(X), tmp_path / "bad.h5ad")
+
+
+def test_native_build_failure_is_best_effort(monkeypatch):
+    """An unwritable cache dir must degrade to numpy, not crash."""
+    import illico_tpu.native as native
+
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    monkeypatch.setenv("ILLICO_TPU_CACHE", "/proc/nonexistent/cache")
+    assert native._load() is None  # no exception
+    from illico_tpu.stats import pvalues_from_stats
+
+    p = pvalues_from_stats(np.asarray([[3.0]]), 0.0, np.asarray([[5.0]]),
+                           np.asarray([[4.0]]))
+    assert p.shape == (1, 1)
+    monkeypatch.setattr(native, "_TRIED", False)  # let later tests rebuild

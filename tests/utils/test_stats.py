@@ -95,3 +95,22 @@ def test_enable_compilation_cache(tmp_path):
     path = illico_tpu.enable_compilation_cache(str(tmp_path / "cc"))
     assert (tmp_path / "cc").is_dir()
     assert jax.config.jax_compilation_cache_dir == path
+
+
+def test_native_and_numpy_paths_agree_on_broadcasts():
+    """The native fast path must only engage for per-row-constant sample
+    sizes: a 1-D (G,) array broadcasts per-COLUMN in numpy, so taking it
+    per-group natively silently diverged (review finding)."""
+    rng = np.random.RandomState(0)
+    U = rng.randint(0, 50, (3, 3)).astype(np.float64)
+    n_ref = np.array([10.0, 20.0, 30.0])  # (3,) -> per-column in numpy
+    n_tgt = np.array([5.0, 6.0, 7.0])
+    p_auto = pvalues_from_stats(U, 0.0, n_ref, n_tgt)
+    p_numpy = pvalues_from_stats(U, 0.0, n_ref, n_tgt, prefer_native=False)
+    np.testing.assert_array_equal(p_auto, p_numpy)
+    # per-group (G, 1) shapes still agree between the two paths
+    p2 = pvalues_from_stats(U, 0.0, n_ref[:, None], n_tgt[:, None])
+    p2_np = pvalues_from_stats(
+        U, 0.0, n_ref[:, None], n_tgt[:, None], prefer_native=False
+    )
+    np.testing.assert_allclose(p2, p2_np, rtol=1e-15)
