@@ -90,7 +90,11 @@ def compute_tile_bounds(
     (``asymptotic_wilcoxon.py:212-227``): small inputs collapse to one batch;
     an integer ``batch_size`` is honored; ``"auto"`` uses the caller-supplied
     device-efficient tile width (the TPU analog of "~256 genes per thread
-    dispatch").
+    dispatch").  ``n_threads`` is accepted for signature parity but —
+    deliberately unlike the reference, which caps ``batch_size`` at
+    ``ceil(n_genes / n_threads)`` to feed its worker pool — does not shape
+    the tiles: here threads only prefetch, and tile width is set by device
+    efficiency and memory budgets.
     """
     if n_genes < 256:
         return [(0, n_genes)], n_genes
@@ -154,6 +158,11 @@ class WilcoxonRunner:
         in_dtype = np.dtype(handler.dtype)
         self.value_dtype = np.float64 if in_dtype == np.float64 else np.float32
 
+        if engine not in ("auto", "sort", "hist"):
+            raise ValueError(
+                f"Invalid engine value: {engine!r}. Must be 'auto', 'sort' "
+                "or 'hist'."
+            )
         # Engine selection: the histogram engine is the fast path for count
         # data (raw or log1p); float64 inputs take the exact sort engine,
         # as do datasets whose largest group exceeds the histogram's f32
@@ -190,9 +199,12 @@ class WilcoxonRunner:
             from jax.sharding import NamedSharding, PartitionSpec
 
             n_dev = int(np.prod(mesh.devices.shape))
-            # Per-shard widths must stay 128-aligned for the Pallas kernel
-            # on real TPUs (interpret mode has no such constraint).
-            align = n_dev * (1 if self._interpret else 128)
+            # The histogram kernel requires per-shard widths of >= 128
+            # columns to be 128-divisible (grouped_histograms' column
+            # blocking — enforced on every backend, interpret included);
+            # keep each shard at a multiple of 128. The sort engine has no
+            # such constraint.
+            align = n_dev * (128 if engine == "hist" else 1)
             if self.tile_width % align:
                 self.tile_width = -(-self.tile_width // align) * align
                 self.bounds = [
@@ -245,11 +257,9 @@ class WilcoxonRunner:
         )
         self._overflow_cols: list[int] = []
         self._device_fetch = None
-        if (
-            self._device_resident
-            and self.value_dtype == np.float32
-            and mesh is None
-        ):
+        # Mesh runs use it too: _run_tile reshards the fetched tile, and
+        # eager per-offset slicing would compile one executable per tile.
+        if self._device_resident and self.value_dtype == np.float32:
             self._init_device_fetch()
 
     def _auto_tile_width(self) -> int:
@@ -303,14 +313,15 @@ class WilcoxonRunner:
                     np.asarray(_sampled_device_max(self.handler.data, w))
                 )
             else:
+                from illico_tpu.utils.diagnostics import sampled_max
+
                 starts = sorted({0, max(0, n_genes // 2 - w // 2), n_genes - w})
                 vmax = 0.0
                 for s in starts:
                     tile = self.handler.fetch_tile(s, min(s + w, n_genes))
                     arr = np.asarray(tile)
-                    # cap sampled rows: O(100k) values per window
-                    step = max(1, arr.shape[0] * arr.shape[1] // 100_000)
-                    m = float(np.max(arr.ravel()[::step])) if arr.size else 0.0
+                    # cap sampled values: O(100k) per window
+                    m = sampled_max(arr.ravel(), 100_000) if arr.size else 0.0
                     vmax = max(vmax, m)
         except Exception:  # sampling must never break the run
             return DEFAULT_V
@@ -335,24 +346,34 @@ class WilcoxonRunner:
 
         Eager per-tile slicing would build (and, over a remote-compile
         tunnel, expensively compile) a distinct executable per column offset;
-        a traced start index makes all tiles share one executable.  The
-        matrix is column-padded once so every slice has the static width.
+        a traced start index makes all tiles share one executable.  A short
+        final tile takes a second jitted fetch that pads to the static
+        width — padding the whole matrix up front would hold a second full
+        copy of the input in HBM for the runner's lifetime.
         """
         import jax.numpy as jnp
 
-        data = self.handler.data
-        rem = (-self.n_genes) % self.tile_width
-        if rem:
-            data = jnp.pad(data, ((0, 0), (0, rem)))
-        self._device_data = data
+        self._device_data = self.handler.data
         width = self.tile_width
+        rem = self.n_genes % width
         vd = self.value_dtype
 
         @jax.jit
         def fetch(x, lb):
             return jax.lax.dynamic_slice_in_dim(x, lb, width, axis=1).astype(vd)
 
+        if rem:
+
+            @jax.jit
+            def fetch_tail(x, lb):
+                t = jax.lax.dynamic_slice_in_dim(x, lb, rem, axis=1)
+                return jnp.pad(t, ((0, 0), (0, width - rem))).astype(vd)
+
+        else:
+            fetch_tail = fetch
+
         self._device_fetch = fetch
+        self._device_fetch_tail = fetch_tail
 
     # -- compilation ---------------------------------------------------------
     def precompile(self) -> None:
@@ -400,6 +421,8 @@ class WilcoxonRunner:
 
     def _fetch(self, lb: int, ub: int):
         if self._device_fetch is not None:
+            if ub - lb < self.tile_width:  # short final tile
+                return self._device_fetch_tail(self._device_data, np.int32(lb))
             return self._device_fetch(self._device_data, np.int32(lb))
         tile = self.handler.fetch_tile(lb, ub)
         if self._device_resident:
@@ -475,7 +498,12 @@ class WilcoxonRunner:
         G, n_genes = info.n_groups, self.n_genes
         n_tests = G * n_genes
         logger.trace("Performing a total of %d tests.", n_tests)
-        log_memory_usage(self.handler, info, self.tile_width, self.n_threads)
+        log_memory_usage(
+            self.handler, info, self.tile_width, self.n_threads,
+            engine=self.engine,
+            v_buckets=self._v_buckets or 128,
+            value_itemsize=int(np.dtype(self.value_dtype).itemsize),
+        )
 
         is_ovr = info.is_ovr
         # One (G, n_genes, 3) buffer in final [p, U, fc] layout: consume

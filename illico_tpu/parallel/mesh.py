@@ -36,6 +36,13 @@ def make_gene_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # Silent truncation would let scaling numbers be reported for
+            # a device count that never ran.
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} "
+                "are available."
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("genes",))
 

@@ -12,22 +12,45 @@ from illico_tpu.utils.log import logger
 __all__ = ["estimate_memory_usage", "log_memory_usage"]
 
 
-def estimate_memory_usage(handler, group_info, tile_width: int, n_threads: int):
-    """Return (host_bytes, device_bytes) estimates."""
+def estimate_memory_usage(
+    handler,
+    group_info,
+    tile_width: int,
+    n_threads: int,
+    *,
+    engine: str = "sort",
+    v_buckets: int = 128,
+    value_itemsize: int = 4,
+):
+    """Return (host_bytes, device_bytes) estimates for the given engine."""
     n_groups = group_info.n_groups
     n_cells, n_genes = handler.shape
-    results = n_groups * n_genes * 3 * 8  # U, tie/p, fc in float64
+    # Host: the (G, n_genes, 3) result buffer, the (G, n_genes) tie buffer
+    # and the in-flight prefetch tiles.
+    results = n_groups * n_genes * 3 * 8
+    tie = n_groups * n_genes * 8
     n_prefetch = max(2, n_threads)
     host_tiles = n_prefetch * handler.tile_footprint(tile_width)
-    host = results + host_tiles
-    # Device: raw tile + padded gather + ~2 sort operand sets + payloads.
-    tile_bytes = n_cells * tile_width * 4
-    device = int(tile_bytes * 6)
+    host = results + tie + host_tiles
+    tile_bytes = n_cells * tile_width * value_itemsize
+    if engine == "hist":
+        # Raw + gathered tile, then the dominant histogram workspace: the
+        # (G, V, T) f32 histogram plus a float64 contraction temporary of
+        # the same extent (~12 B/element — the term that bounds the auto
+        # tile width).
+        device = int(
+            tile_bytes * 2 + n_groups * v_buckets * tile_width * 12
+        )
+    else:
+        # Raw tile + padded gather + ~2 sort operand sets + payloads.
+        device = int(tile_bytes * 6)
     return host, device
 
 
-def log_memory_usage(handler, group_info, tile_width: int, n_threads: int):
-    host, device = estimate_memory_usage(handler, group_info, tile_width, n_threads)
+def log_memory_usage(handler, group_info, tile_width: int, n_threads: int, **kw):
+    host, device = estimate_memory_usage(
+        handler, group_info, tile_width, n_threads, **kw
+    )
     logger.trace(
         "Estimated peak memory: host ~%.1f MB, device (HBM) ~%.1f MB.",
         host / 1e6, device / 1e6,

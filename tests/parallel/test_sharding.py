@@ -98,3 +98,30 @@ def test_explicit_device_targeting(problem, engine):
         x, groups, device=jax.devices()[1], **kw
     )
     pd.testing.assert_frame_equal(df_default, df_dev1)
+
+
+def test_mesh_hist_width_realigns_to_128_per_shard(problem):
+    """Per-shard widths >= 128 must be 128-divisible for the histogram
+    kernel on every backend — a batch_size that shards to e.g. 150 columns
+    used to crash inside grouped_histograms (review finding)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    import pandas as pd
+
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    x, labels = problem
+    groups = np.array([f"p{v}" for v in labels])
+    kw = dict(reference="p0", engine="hist", progress=False)
+    df1 = asymptotic_wilcoxon_arrays(x, groups, batch_size=50, **kw)
+    df8 = asymptotic_wilcoxon_arrays(
+        x, groups, devices=8, batch_size=50, **kw
+    )
+    pd.testing.assert_frame_equal(df1, df8)
+
+
+def test_mesh_more_devices_than_available_raises():
+    from illico_tpu.parallel.mesh import make_gene_mesh
+
+    with pytest.raises(ValueError, match="available"):
+        make_gene_mesh(len(jax.devices()) + 1)

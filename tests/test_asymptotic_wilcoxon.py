@@ -267,3 +267,11 @@ def test_auto_width_small_input_single_batch():
 
     bounds, width = compute_tile_bounds(100, "auto", 4, 2048)
     assert bounds == [(0, 100)] and width == 100
+
+
+def test_invalid_engine_raises(eager_rand_adata):
+    with pytest.raises(ValueError, match="Invalid engine"):
+        asymptotic_wilcoxon(
+            eager_rand_adata, is_log1p=False, group_keys="pert",
+            engine="histogram", progress=False,
+        )
