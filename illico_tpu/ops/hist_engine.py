@@ -657,6 +657,15 @@ def make_hist_tile_fn(
             f"cells for exact f32 bucket counts (largest group: "
             f"{int(real_check.max())}); use engine='sort'."
         )
+    if real_check.size and real_check.min() == 0:
+        # The Pallas sweep only flushes rows for groups present in the
+        # padded layout: an empty group's histogram row would be
+        # uninitialized HBM.  Unreachable via the public API (encoded
+        # groups always have >= 1 cell) — guarded for direct callers.
+        raise ValueError(
+            "Histogram engine requires every group to have at least one "
+            "row; use engine='sort' for layouts with empty groups."
+        )
     perm, pad_mask, table, blk_group, blk_flush, ppg = prepare_hist_inputs(
         layout, v_buckets, is_log1p
     )
