@@ -275,3 +275,15 @@ def test_invalid_engine_raises(eager_rand_adata):
             eager_rand_adata, is_log1p=False, group_keys="pert",
             engine="histogram", progress=False,
         )
+
+
+def test_profile_dir_smoke(eager_rand_adata, tmp_path):
+    """profile_dir= wraps the run in jax.profiler.trace (SURVEY §5's
+    observability hook); the run must succeed and leave a trace dir."""
+    d = tmp_path / "prof"
+    df = asymptotic_wilcoxon(
+        eager_rand_adata, is_log1p=False, group_keys="pert",
+        reference="pert_0", progress=False, profile_dir=str(d),
+    )
+    assert len(df) > 0
+    assert d.exists() and any(d.rglob("*"))
