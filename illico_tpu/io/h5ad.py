@@ -86,6 +86,39 @@ class BackedCSR:
         return m.toarray()
 
 
+class _LazyLayers:
+    """Mapping over on-disk h5ad layers, materialized per layer on access.
+
+    Backed mode keeps the h5 handle open, so layers can stay on disk until
+    ``layer=`` actually selects one — eagerly densifying every layer would
+    defeat ``backed='r'`` for files with large dense layers.
+    """
+
+    def __init__(self, group: h5py.Group):
+        self._group = group
+        self._cache: dict = {}
+
+    def __getitem__(self, key):
+        if key not in self._cache:
+            self._cache[key] = _read_matrix(self._group[key], False)
+        return self._cache[key]
+
+    def __contains__(self, key) -> bool:
+        return key in self._group
+
+    def __iter__(self):
+        return iter(self._group.keys())
+
+    def __len__(self) -> int:
+        return len(self._group)
+
+    def keys(self):
+        return self._group.keys()
+
+    def items(self):
+        return ((k, self[k]) for k in self.keys())
+
+
 class AnnDataLite:
     """AnnData-compatible container for the DE workflow."""
 
@@ -295,10 +328,14 @@ def read_h5ad(path, backed: str | None = None) -> AnnDataLite:
         var = _read_df(f["var"]) if "var" in f else None
         layers = {}
         if "layers" in f:
-            # Layers load eagerly even in backed mode (anndata backs only
-            # X but still exposes layers) so ``layer=`` keeps working.
-            for k in f["layers"].keys():
-                layers[k] = _read_matrix(f["layers"][k], False)
+            if is_backed:
+                # The handle stays open: keep layers on disk and densify
+                # only the one ``layer=`` selects (anndata likewise backs
+                # only X but still exposes layers).
+                layers = _LazyLayers(f["layers"])
+            else:
+                for k in f["layers"].keys():
+                    layers[k] = _read_matrix(f["layers"][k], False)
         adata = AnnDataLite(X, obs, var, layers, isbacked=is_backed, filename=path)
         if is_backed:
             adata._file = f  # keep the handle alive

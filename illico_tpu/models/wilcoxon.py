@@ -36,18 +36,31 @@ REF_SENTINEL_P = 1.0
 REF_SENTINEL_U = -1.0
 
 
-@functools.partial(jax.jit, static_argnames="w")
-def _sampled_device_max(x, w: int):
-    """Max over the leading ``w`` columns of a device-resident matrix.
+@functools.partial(jax.jit, static_argnames=("w", "is_log1p"))
+def _sampled_device_stats(x, start, w: int, is_log1p: bool):
+    """(max, table-conformity) of a ``w``-column window at a traced offset.
 
     Jitted (and therefore persistently cacheable) on purpose: eager
     slicing + max would build fresh eager executables in every process —
     minutes per cold start over a remote-compile link, all spent inside
-    runner setup.
+    runner setup.  The traced ``start`` lets head/middle/tail windows share
+    one executable.
+
+    Conformity mirrors the histogram engine's tabulation rule exactly
+    (``ops/hist_engine.make_value_table``): after the engine's float32
+    cast, every value must equal a table entry — a nonnegative integer for
+    raw counts, ``float32(log1p(k))`` for log1p data.  Normalized or scaled
+    expression fails this and belongs on the sort engine.
     """
     import jax.numpy as jnp
 
-    return jnp.max(jax.lax.dynamic_slice_in_dim(x, 0, w, axis=1))
+    t = jax.lax.dynamic_slice_in_dim(x, start, w, axis=1).astype(jnp.float32)
+    if is_log1p:
+        rebuilt = jnp.log1p(jnp.round(jnp.expm1(t)))
+    else:
+        rebuilt = jnp.round(t)
+    conforms = jnp.all((t == rebuilt) & (t >= 0))
+    return jnp.max(t), conforms
 
 
 def _copy_to_host_async(out) -> None:
@@ -163,12 +176,17 @@ class WilcoxonRunner:
                 f"Invalid engine value: {engine!r}. Must be 'auto', 'sort' "
                 "or 'hist'."
             )
+        self._sampled_vmax: float | None = None
+        self._sampled_conforms: bool | None = None
         # Engine selection: the histogram engine is the fast path for count
         # data (raw or log1p); float64 inputs take the exact sort engine,
         # as do datasets whose largest group exceeds the histogram's f32
         # bucket-exactness bound.
         if engine == "auto":
-            from illico_tpu.ops.hist_engine import HIST_EXACT_MAX_GROUP
+            from illico_tpu.ops.hist_engine import (
+                HIST_EXACT_MAX_GROUP,
+                HIST_MAX_TOTAL_CELLS,
+            )
 
             engine = "sort" if self.value_dtype == np.float64 else "hist"
             if (
@@ -182,7 +200,56 @@ class WilcoxonRunner:
                     int(group_info.counts.max()),
                 )
                 engine = "sort"
+            if (
+                engine == "hist"
+                and int(group_info.counts.sum()) >= HIST_MAX_TOTAL_CELLS
+            ):
+                # Tie sums scale as n_total**3; past 2**63 the packed
+                # wire's float64 word split stops being value-faithful
+                # (ops/hist_engine._split_hi_lo_words).
+                logger.trace(
+                    "Total cells (%d) exceed the histogram engine's "
+                    "tie-sum wire bound; using the sort engine.",
+                    int(group_info.counts.sum()),
+                )
+                engine = "sort"
+            if engine == "hist":
+                # Integrality probe: normalized/scaled expression (neither
+                # integer counts nor float32 log1p of counts) can never hit
+                # the value table — every column would overflow and recompute
+                # through the sort fallback, paying the histogram pass for
+                # nothing.  Route it to the sort engine up front.
+                vmax, conforms = self._sample_value_stats()
+                self._sampled_vmax = vmax
+                self._sampled_conforms = conforms
+                if not conforms:
+                    logger.trace(
+                        "Sampled values are not histogram-tabulable "
+                        "(neither integer counts nor float32 log1p of "
+                        "integer counts); using the sort engine.",
+                    )
+                    engine = "sort"
         self.engine = engine
+        # log1p-flag sanity warning, wired (the reference ships the heuristic
+        # but never calls it, ``utils/math.py:121-165``).  Reuse the
+        # engine-selection sample when it exists; otherwise sample host
+        # inputs (cheap numpy reads).  Device-resident sort-engine runs skip
+        # the warning rather than pay a fresh probe executable over a
+        # remote-compile link.
+        if self._sampled_vmax is None and not self._device_resident:
+            self._sampled_vmax, self._sampled_conforms = (
+                self._sample_value_stats()
+            )
+        if self._sampled_vmax is not None:
+            from illico_tpu.utils.diagnostics import warn_if_log1p_mismatch
+
+            warn_if_log1p_mismatch(
+                is_log1p=self.is_log1p,
+                max_value=self._sampled_vmax,
+                integral=(
+                    self._sampled_conforms if not self.is_log1p else None
+                ),
+            )
         self._v_buckets = self._pick_v_buckets() if engine == "hist" else 0
 
         self.bounds, self.tile_width = compute_tile_bounds(
@@ -290,6 +357,58 @@ class WilcoxonRunner:
         w = min(cap, t_hbm)
         return max(128, (w // 128) * 128)
 
+    def _sample_value_stats(self):
+        """(max value, histogram-tabulable) from head/middle/tail samples.
+
+        Returns ``(None, True)`` when sampling fails — sampling is purely a
+        heuristic and must never break the run (exactness never depends on
+        it: the kernel detects untabulated values per column from count
+        totals and falls back to the sort engine).  Three column windows
+        bound the common case where expression magnitude varies across the
+        gene axis.  Conformity mirrors the engine's tabulation rule (see
+        :func:`_sampled_device_stats`): non-integer (non-log1p-of-integer)
+        data fails it and should route to the sort engine up front instead
+        of paying a guaranteed-overflowing histogram pass.
+        """
+        try:
+            n_genes = self.n_genes
+            w = max(1, min(24, n_genes))
+            starts = sorted(
+                {0, max(0, n_genes // 2 - w // 2), max(0, n_genes - w)}
+            )
+            vmax, conforms = 0.0, True
+            if self._device_resident:
+                # One jitted slice+stats executable, reused for all three
+                # windows (traced start index): warm processes hit the
+                # persistent compile cache instead of paying minutes-long
+                # eager compiles over a remote-compile link.
+                for s in starts:
+                    m, ok = _sampled_device_stats(
+                        self.handler.data, s, w, self.is_log1p
+                    )
+                    vmax = max(vmax, float(np.asarray(m)))
+                    conforms = conforms and bool(np.asarray(ok))
+            else:
+                for s in starts:
+                    tile = self.handler.fetch_tile(s, min(s + w, n_genes))
+                    arr = np.asarray(tile)
+                    if not arr.size:
+                        continue
+                    # cap sampled values: O(100k) per window
+                    step = max(1, arr.size // 100_000)
+                    vals = arr.ravel()[::step].astype(np.float32)
+                    if self.is_log1p:
+                        rebuilt = np.log1p(np.round(np.expm1(vals)))
+                    else:
+                        rebuilt = np.round(vals)
+                    conforms = conforms and bool(
+                        np.all((vals == rebuilt) & (vals >= 0))
+                    )
+                    vmax = max(vmax, float(vals.max()))
+        except Exception:  # sampling must never break the run
+            return None, True
+        return vmax, conforms
+
     def _pick_v_buckets(self) -> int:
         """Size the histogram value table from a cheap data sample.
 
@@ -297,33 +416,13 @@ class WilcoxonRunner:
         back to the (exact but slower) sort engine.  Sampling is purely a
         performance heuristic — exactness never depends on it, because the
         kernel detects untabulated values per column from count totals.
-        Three column windows (head/middle/tail) bound the common case where
-        expression magnitude varies across the gene axis.
         """
         from illico_tpu.ops.hist_engine import DEFAULT_V
 
-        try:
-            n_genes = self.n_genes
-            w = max(1, min(24, n_genes))
-            if self._device_resident:
-                # One jitted head-window slice+max: jit executables hit the
-                # persistent compile cache, so warm processes skip the
-                # minutes-long eager compiles a remote-compile link charges.
-                vmax = float(
-                    np.asarray(_sampled_device_max(self.handler.data, w))
-                )
-            else:
-                from illico_tpu.utils.diagnostics import sampled_max
-
-                starts = sorted({0, max(0, n_genes // 2 - w // 2), n_genes - w})
-                vmax = 0.0
-                for s in starts:
-                    tile = self.handler.fetch_tile(s, min(s + w, n_genes))
-                    arr = np.asarray(tile)
-                    # cap sampled values: O(100k) per window
-                    m = sampled_max(arr.ravel(), 100_000) if arr.size else 0.0
-                    vmax = max(vmax, m)
-        except Exception:  # sampling must never break the run
+        vmax = self._sampled_vmax
+        if vmax is None:
+            vmax, _ = self._sample_value_stats()
+        if vmax is None:
             return DEFAULT_V
         counts_max = float(np.expm1(vmax)) if self.is_log1p else vmax
         if not np.isfinite(counts_max) or counts_max < DEFAULT_V - 1:

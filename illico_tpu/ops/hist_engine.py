@@ -57,6 +57,14 @@ _ROW_BLOCK = BLOCK  # row blocks align with the group padding granularity
 # sort engine (the runner's auto selection enforces it).
 HIST_EXACT_MAX_GROUP = 2**24
 
+# The packed wire transports float64 statistics through an int64 word split
+# (:func:`_split_hi_lo_words`), which is value-faithful only below 2**63.
+# Every float64-wire statistic (tie_col = sum c^3 - c, tie_ref_col, wide
+# tie_seg) is bounded by n_total**3, so datasets must stay below
+# (2**63)**(1/3) = 2**21 total cells; larger ones take the sort engine
+# (enforced here and in the runner's auto selection).
+HIST_MAX_TOTAL_CELLS = 2**21
+
 
 # Rows fetched per grid step.  Group segments are padded to _ROW_BLOCK rows;
 # each step sweeps _SUPER_SUB aligned sub-blocks so the HBM->VMEM input DMAs
@@ -250,9 +258,17 @@ def _wire_bytes(key, dtype: np.dtype, narrow) -> int:
 
 
 def _split_hi_lo_words(v):
-    """Exact (hi, lo) 32-bit word split of non-negative integers < 2**53.
+    """(hi, lo) 32-bit word split of non-negative integer-valued float64.
 
-    Integer shift/mask after an (exact) float64 -> int64 cast.  The obvious
+    Integer shift/mask after a float64 -> int64 cast.  The cast (and the
+    host-side ``hi * 2**32 + lo`` reconstruction) round-trips any
+    integer-valued float64 below **2**63** bit-faithfully; at or above 2**63
+    the cast overflows and the decoded value is garbage — callers must bound
+    their statistics below 2**63 (``HIST_MAX_TOTAL_CELLS`` enforces the
+    n**3 tie-sum bound).  Below 2**53 the value is additionally the *exact*
+    integer statistic; between 2**53 and 2**63 it is the float64-rounded
+    sum, transported faithfully (same rounding class as the reference's
+    float64 accumulation, ``utils/math.py:64-118``).  The obvious
     ``hi = floor(v / 2**32); lo = v - hi * 2**32`` is NOT safe on TPU: the
     x64-emulation's division mis-rounds when ``v mod 2**32`` sits at the
     2**32 - 1 boundary (floor lands one too high, the negative remainder
@@ -656,6 +672,17 @@ def make_hist_tile_fn(
             f"Histogram engine requires every group below {HIST_EXACT_MAX_GROUP} "
             f"cells for exact f32 bucket counts (largest group: "
             f"{int(real_check.max())}); use engine='sort'."
+        )
+    if int(real_check.sum()) >= HIST_MAX_TOTAL_CELLS:
+        # Tie sums scale as n_total**3 and travel the packed wire through
+        # a float64 -> int64 word split that is faithful only below 2**63
+        # (see _split_hi_lo_words); past this bound both unpack paths would
+        # silently reconstruct wrong tie sums and corrupt p-values.
+        raise ValueError(
+            f"Histogram engine requires fewer than {HIST_MAX_TOTAL_CELLS} "
+            f"total cells (got {int(real_check.sum())}): tie statistics are "
+            "bounded by n_total**3 and the packed wire's float64 word split "
+            "is only faithful below 2**63; use engine='sort'."
         )
     if real_check.size and real_check.min() == 0:
         # The Pallas sweep only flushes rows for groups present in the

@@ -32,25 +32,44 @@ def sampled_max(data: np.ndarray, sample_size: int = 200_000) -> float:
     return float(np.max(data[::step]))
 
 
-def warn_if_log1p_mismatch(X, is_log1p: bool, sample_size: int = 200_000) -> None:
+def warn_if_log1p_mismatch(
+    X=None,
+    is_log1p: bool = False,
+    sample_size: int = 200_000,
+    *,
+    max_value: float | None = None,
+    integral: bool | None = None,
+) -> None:
     """Warn when the user's ``is_log1p`` flag looks inconsistent with the data.
 
     Heuristic: log1p-transformed expression rarely exceeds ~15, raw counts
-    usually do (same thresholds as the reference).
+    usually do (same thresholds as the reference).  Callers that already
+    sampled the data may pass ``max_value`` directly (then ``X`` is unused);
+    ``integral=True`` additionally suppresses the low-max warning for
+    ``is_log1p=False`` — small integer counts are legitimately below 15 and
+    are the common false positive of the raw threshold heuristic.
     """
-    max_val = sampled_max(_flat_values(X), sample_size=sample_size)
+    max_val = (
+        float(max_value)
+        if max_value is not None
+        else sampled_max(_flat_values(X), sample_size=sample_size)
+    )
+    if not is_log1p and integral is True:
+        return
     if is_log1p and max_val > 15:
         warnings.warn(
-            f"User indicated is_log1p=True, but estimated data max value is "
-            f"{max_val:.2f}, which seems inconsistent. Make sure data is "
-            "indeed log1p transformed.",
+            f"is_log1p=True, yet a sampled maximum of {max_val:.2f} looks "
+            "like raw counts (log1p expression rarely exceeds ~15). Fold "
+            "changes would be computed on expm1 of already-raw values — "
+            "check the flag against how the matrix was produced.",
             UserWarning,
         )
     elif not is_log1p and max_val < 15:
         warnings.warn(
-            f"User indicated is_log1p=False, but estimated data max value is "
-            f"{max_val:.2f}, which seems inconsistent. Make sure data is "
-            "indeed raw counts.",
+            f"is_log1p=False, yet a sampled maximum of {max_val:.2f} looks "
+            "like log1p-transformed expression (raw counts usually exceed "
+            "15). Fold changes would then be ratios of log values — check "
+            "the flag against how the matrix was produced.",
             UserWarning,
         )
 

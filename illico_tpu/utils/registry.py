@@ -81,13 +81,31 @@ class DataHandler(ABC):
 
     def fetch_columns(self, idx) -> "np.ndarray":
         """Dense (n_cells, len(idx)) gather of arbitrary columns (rare path,
-        used for histogram-overflow fallbacks)."""
+        used for histogram-overflow fallbacks).
+
+        Adjacent requested columns are coalesced into contiguous ranges so
+        backed handlers issue O(ranges) reads instead of one disk read per
+        column — overflow fallbacks typically hit runs of neighboring
+        columns.
+        """
         import numpy as _np
 
-        idx = _np.asarray(idx)
-        return _np.concatenate(
-            [self.fetch_tile(int(i), int(i) + 1) for i in idx], axis=1
-        )
+        idx = _np.asarray(idx, dtype=_np.int64)
+        if idx.size == 0:
+            return _np.empty((int(self.shape[0]), 0), dtype=self.dtype)
+        order = _np.argsort(idx, kind="stable")
+        s = idx[order]
+        breaks = _np.flatnonzero(_np.diff(s) != 1) + 1
+        starts = _np.concatenate(([0], breaks))
+        ends = _np.concatenate((breaks, [s.size]))
+        parts = [
+            self.fetch_tile(int(s[a]), int(s[e - 1]) + 1)
+            for a, e in zip(starts, ends)
+        ]
+        dense = parts[0] if len(parts) == 1 else _np.concatenate(parts, axis=1)
+        out = _np.empty_like(dense)
+        out[:, order] = dense
+        return out
 
 
 @data_handler_registry.register(np.ndarray)
@@ -153,12 +171,13 @@ class CSRDataHandler(DataHandler):
             bad[row_starts - 1] = False
             if bad.any():
                 raise ValueError(
-                    "Input data matrix indices are not sorted. This is very "
-                    "unusual and may lead to incorrect results. This can be the "
-                    "result of operations like `adata[:, np.random.choice(…)]` "
-                    "that do not preserve sorting. Please make sure that indices "
-                    "used to chunk the adata or the expression matrix have been "
-                    "sorted prior to computing DE genes."
+                    "CSR matrix has unsorted column indices within a row; "
+                    "column windowing relies on per-row sorted order and "
+                    "would silently produce wrong tiles. Unsorted indices "
+                    "usually come from fancy indexing with an unsorted "
+                    "selector (e.g. adata[:, permutation]); call "
+                    "X.sort_indices() (or sort the selector) before running "
+                    "the test."
                 )
 
 

@@ -23,7 +23,33 @@ ATOL = 0.0
 RTOL = 1.0e-12
 
 
-def scipy_mannwhitneyu(adata, groupby_key, reference, use_continuity, alternative, is_log1p=False):
+def _no_tie_pvalues(U1, n1, n2, use_continuity, alternative):
+    """Asymptotic MWU p-values WITHOUT tie correction.
+
+    scipy does not expose the tie-correction toggle, so this hand-rolled
+    oracle supplies the ``tie_correct=False`` ground truth: the same normal
+    approximation with the tie term dropped from sigma —
+    ``sigma = sqrt(n1*n2*(n1+n2+1)/12)`` — and the reference's two-sided /
+    continuity semantics (``/root/reference/illico/utils/math.py:64-118``).
+    U itself is tie-independent and still comes from scipy.
+    """
+    from scipy.special import erfc
+
+    U1 = np.asarray(U1, dtype=np.float64)
+    mu = n1 * n2 / 2.0
+    sigma = np.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0)
+    c = 0.5 if use_continuity else 0.0
+    sqrt2 = np.sqrt(2.0)
+    if alternative == "two-sided":
+        delta = np.minimum(U1, n1 * n2 - U1) - mu
+        z = (np.abs(delta) + np.sign(delta) * c) / sigma
+        return erfc(z / sqrt2)
+    if alternative == "greater":
+        return 0.5 * erfc((U1 - mu - c) / sigma / sqrt2)
+    return 0.5 * erfc(-(U1 - mu + c) / sigma / sqrt2)
+
+
+def scipy_mannwhitneyu(adata, groupby_key, reference, use_continuity, alternative, is_log1p=False, tie_correct=True):
     results = []
     obs_groups = np.asarray(adata.obs[groupby_key])
     X = adata.X
@@ -47,6 +73,11 @@ def scipy_mannwhitneyu(adata, groupby_key, reference, use_continuity, alternativ
             ref_counts, grp_counts, axis=0, method="asymptotic",
             use_continuity=use_continuity, alternative=alternative,
         )
+        if not tie_correct:
+            pvals = _no_tie_pvalues(
+                stats, ref_counts.shape[0], grp_counts.shape[0],
+                use_continuity, alternative,
+            )
         results.append(
             pd.DataFrame({
                 "p_value": pvals, "statistic": stats, "fold_change": fc,
@@ -90,9 +121,6 @@ def test_asymptotic_wilcoxon(rand_adata, test, use_continuity, tie_correct, alte
     if should_raise:
         return
 
-    if not tie_correct:
-        pytest.skip("scipy does not expose tie correction toggling.")
-
     scipy_results = scipy_mannwhitneyu(
         adata=rand_adata,
         groupby_key="pert",
@@ -100,6 +128,7 @@ def test_asymptotic_wilcoxon(rand_adata, test, use_continuity, tie_correct, alte
         is_log1p=False,
         use_continuity=use_continuity,
         alternative=alternative,
+        tie_correct=tie_correct,
     )
 
     got = asy_results.loc[scipy_results.index]

@@ -133,7 +133,7 @@ def test_csr_validation_empty_boundary_rows():
     m3 = sp.csr_matrix(np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 4.0]]))
     assert m3.indptr[1] == 0
     m3.indices[-2:] = m3.indices[-2:][::-1]  # unsort the final row pair
-    with pytest.raises(ValueError, match="not sorted"):
+    with pytest.raises(ValueError, match="unsorted"):
         data_handler_registry.get(m3).validate()
 
 
@@ -181,7 +181,39 @@ def test_backed_mode_exposes_layers(tmp_path):
     write_h5ad(ad, p)
     backed = read_h5ad(p, backed="r")
     assert "counts" in backed.layers
+    # Backed layers stay on disk until selected (lazy mapping, no eager
+    # densification of every layer).
+    assert backed.layers._cache == {}
     np.testing.assert_array_equal(backed.layers["counts"], X * 2)
+    assert "counts" in backed.layers._cache
+    assert list(backed.layers.keys()) == ["counts"]
+
+    eager = read_h5ad(p)
+    assert isinstance(eager.layers, dict)
+    np.testing.assert_array_equal(eager.layers["counts"], X * 2)
+
+
+def test_fetch_columns_coalesces_ranges(tmp_path):
+    """The generic fetch_columns must issue one backed read per contiguous
+    column range (not per column), in any request order, with duplicates."""
+    adata, dense = _adata("csc")
+    path = tmp_path / "x.h5ad"
+    adata.write_h5ad(path)
+    back = read_h5ad(path, backed="r")
+    ensure_backed_handlers()
+    handler = data_handler_registry.get(back.X)
+
+    calls = []
+    orig = handler.fetch_tile
+    handler.fetch_tile = lambda lb, ub: (calls.append((lb, ub)), orig(lb, ub))[1]
+
+    idx = [7, 8, 2, 3, 4, 12, 3]  # sorted runs: [2,4) [3,5) [7,9) [12,13)
+    out = handler.fetch_columns(idx)
+    np.testing.assert_array_equal(out, dense[:, idx])
+    assert len(calls) == 4  # one read per contiguous run, not per column
+    assert sorted(calls) == [(2, 4), (3, 5), (7, 9), (12, 13)]
+
+    assert handler.fetch_columns([]).shape == (dense.shape[0], 0)
 
 
 def test_write_rejects_exotic_sparse(tmp_path):
