@@ -16,9 +16,20 @@ from illico_tpu.api import asymptotic_wilcoxon, asymptotic_wilcoxon_arrays
 __all__ = [
     "asymptotic_wilcoxon",
     "asymptotic_wilcoxon_arrays",
+    "asymptotic_wilcoxon_multihost",
     "enable_compilation_cache",
 ]
-__version__ = "0.1.4"
+__version__ = "0.1.5"
+
+
+def __getattr__(name):
+    # Lazy: the multi-host path pulls in jax.distributed machinery that a
+    # plain single-host import should not pay for.
+    if name == "asymptotic_wilcoxon_multihost":
+        from illico_tpu.parallel.multihost import asymptotic_wilcoxon_multihost
+
+        return asymptotic_wilcoxon_multihost
+    raise AttributeError(f"module 'illico_tpu' has no attribute {name!r}")
 
 
 def enable_compilation_cache(path: str | None = None) -> str:

@@ -115,22 +115,29 @@ def asymptotic_wilcoxon(
     res = runner.run(progress=progress, profile_dir=profile_dir)
 
     t0 = _time.perf_counter()
-    rows = pd.Series(unique_groups, name="pert", dtype=str)
-    cols = pd.Series(np.asarray(adata.var_names), name="feature", dtype=str)
     if res.stacked is not None:
         stacked = res.stacked.reshape(-1, 3)  # zero-copy
     else:
         stacked = np.stack(
             [res.pvalues, res.statistics, res.fold_change], axis=-1
         ).reshape(-1, 3)
-    df = pd.DataFrame(
+    df = build_result_frame(unique_groups, adata.var_names, stacked)
+    logger.trace("Result assembly: %.2fs.", _time.perf_counter() - t0)
+    return df
+
+
+def build_result_frame(unique_groups, var_names, stacked) -> pd.DataFrame:
+    """Assemble the output DataFrame contract from a (n_groups*n_genes, 3)
+    [p, U, fc] block (MultiIndex ``(pert, feature)``, three named columns —
+    ``/root/reference/illico/asymptotic_wilcoxon.py:252-256``)."""
+    rows = pd.Series(unique_groups, name="pert", dtype=str)
+    cols = pd.Series(np.asarray(var_names), name="feature", dtype=str)
+    return pd.DataFrame(
         data=stacked,
         index=pd.MultiIndex.from_product([rows, cols], names=["pert", "feature"]),
         columns=["p_value", "statistic", "fold_change"],
         copy=False,
     )
-    logger.trace("Result assembly: %.2fs.", _time.perf_counter() - t0)
-    return df
 
 
 def asymptotic_wilcoxon_arrays(
