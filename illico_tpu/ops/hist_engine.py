@@ -650,21 +650,13 @@ def hist_stat_bounds(
     return u2_bound, fc_bound
 
 
-def make_hist_tile_fn(
-    layout: PaddedLayout,
-    *,
-    ref_code: int,
-    is_log1p: bool,
-    compute_fc: bool = True,
-    v_buckets: int = DEFAULT_V,
-    interpret: bool = False,
-    device=None,
-):
-    """Histogram-engine tile function with the layout baked in.
+def validate_hist_layout(layout: PaddedLayout, *, packed_wire: bool = True):
+    """Reject layouts the histogram engine cannot serve exactly.
 
-    ``device`` commits the layout arrays to a specific device so the tile
-    function can run against tiles placed there (default: jax's default
-    device).
+    ``packed_wire=False`` (the mesh path, which transfers plain arrays)
+    drops the total-cell bound: that bound protects the packed wire's
+    float64 word split, not the contraction itself — unpacked tie sums past
+    2**53 merely round at ~1e-16 relative, far inside the p-value contract.
     """
     real_check = real_rows_per_group(layout)
     if real_check.size and real_check.max() >= HIST_EXACT_MAX_GROUP:
@@ -673,7 +665,7 @@ def make_hist_tile_fn(
             f"cells for exact f32 bucket counts (largest group: "
             f"{int(real_check.max())}); use engine='sort'."
         )
-    if int(real_check.sum()) >= HIST_MAX_TOTAL_CELLS:
+    if packed_wire and int(real_check.sum()) >= HIST_MAX_TOTAL_CELLS:
         # Tie sums scale as n_total**3 and travel the packed wire through
         # a float64 -> int64 word split that is faithful only below 2**63
         # (see _split_hi_lo_words); past this bound both unpack paths would
@@ -693,6 +685,85 @@ def make_hist_tile_fn(
             "Histogram engine requires every group to have at least one "
             "row; use engine='sort' for layouts with empty groups."
         )
+
+
+def hist_contract_statics(
+    layout: PaddedLayout,
+    ref_code: int,
+    v_buckets: int,
+    *,
+    compute_fc: bool = True,
+    wire: bool = True,
+) -> dict:
+    """Dtype-narrowing statics for :func:`hist_contract`, proven exact by
+    the layout's static group-size bounds.
+
+    ``wire=True`` (single-chip packed path): split-word tiers (u40/f48) and
+    the fc row split are in play — the statistics cross a bandwidth-bound
+    link in 2-6 bytes each.  ``wire=False`` (mesh path, plain arrays):
+    only true device dtypes narrow (uint16/uint32/int32); split encodings and
+    the fc split buy nothing there.
+    """
+    u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
+    real = real_rows_per_group(layout).astype(np.float64)
+    pick = _pick_split_dtype if wire else _pick_exact_dtype
+    if ref_code == -1 or real.size == 0:
+        tie_dtype = "float64"  # OVR has no per-(group, column) tie array
+    else:
+        others = np.delete(real, ref_code)
+        r_ref = real[ref_code]
+        m_max = others.max() if others.size else 0.0
+        # Non-reference rows of tie_seg are maximized by concentrating both
+        # samples in one value bucket: (M^3 - M) + 3*R*M*(R + M).  The
+        # reference self-row (~7 R^3, far larger) is zeroed on device.
+        tie_bound = (m_max**3 - m_max) + 3.0 * r_ref * m_max * (r_ref + m_max)
+        tie_dtype = pick(tie_bound)
+
+    # One huge group (typically the OVO control, often 100x the others)
+    # otherwise dictates fc_sums' encoding for the whole (G, T) array; ship
+    # its row separately (uint32, per-column — negligible) when that lets
+    # the bulk array drop a tier.
+    fc_dtype = _pick_exact_dtype(fc_bound)
+    fc_split_code = -1
+    if wire and compute_fc and real.size > 1:
+        big = int(np.argmax(real))
+        rest_bound = np.delete(real, big).max() * (v_buckets - 1)
+        row_bound = real[big] * (v_buckets - 1)
+        rest_dtype = _pick_exact_dtype(rest_bound)
+        if (
+            row_bound < 2.0**32
+            and _DTYPE_WIRE_BYTES[rest_dtype] < _DTYPE_WIRE_BYTES[fc_dtype]
+        ):
+            fc_split_code = big
+            fc_dtype = rest_dtype
+
+    return dict(
+        ref_code=int(ref_code),
+        compute_fc=compute_fc,
+        u2_dtype=pick(u2_bound),
+        fc_dtype=fc_dtype,
+        tie_dtype=tie_dtype,
+        fc_split_code=fc_split_code,
+    )
+
+
+def make_hist_tile_fn(
+    layout: PaddedLayout,
+    *,
+    ref_code: int,
+    is_log1p: bool,
+    compute_fc: bool = True,
+    v_buckets: int = DEFAULT_V,
+    interpret: bool = False,
+    device=None,
+):
+    """Histogram-engine tile function with the layout baked in.
+
+    ``device`` commits the layout arrays to a specific device so the tile
+    function can run against tiles placed there (default: jax's default
+    device).
+    """
+    validate_hist_layout(layout, packed_wire=True)
     perm, pad_mask, table, blk_group, blk_flush, ppg = prepare_hist_inputs(
         layout, v_buckets, is_log1p
     )
@@ -705,47 +776,12 @@ def make_hist_tile_fn(
 
     # Exact static bounds on the per-(group, column) integer statistics let
     # them cross the (bandwidth-bound) host<->device link in 2-6 bytes.
-    u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
-    real = real_rows_per_group(layout).astype(np.float64)
-    if ref_code == -1 or real.size == 0:
-        tie_dtype = "float64"  # OVR has no per-(group, column) tie array
-    else:
-        others = np.delete(real, ref_code)
-        r_ref = real[ref_code]
-        m_max = others.max() if others.size else 0.0
-        # Non-reference rows of tie_seg are maximized by concentrating both
-        # samples in one value bucket: (M^3 - M) + 3*R*M*(R + M).  The
-        # reference self-row (~7 R^3, far larger) is zeroed on device.
-        tie_bound = (m_max**3 - m_max) + 3.0 * r_ref * m_max * (r_ref + m_max)
-        tie_dtype = _pick_tie_dtype(tie_bound)
-
-    # One huge group (typically the OVO control, often 100x the others)
-    # otherwise dictates fc_sums' encoding for the whole (G, T) array; ship
-    # its row separately (uint32, per-column — negligible) when that lets
-    # the bulk array drop a tier.
-    fc_dtype = _pick_exact_dtype(fc_bound)
-    fc_split_code = -1
-    if compute_fc and real.size > 1:
-        big = int(np.argmax(real))
-        rest_bound = np.delete(real, big).max() * (v_buckets - 1)
-        row_bound = real[big] * (v_buckets - 1)
-        rest_dtype = _pick_exact_dtype(rest_bound)
-        if (
-            row_bound < 2.0**32
-            and _DTYPE_WIRE_BYTES[rest_dtype] < _DTYPE_WIRE_BYTES[fc_dtype]
-        ):
-            fc_split_code = big
-            fc_dtype = rest_dtype
-
     contract_statics = dict(
         n_pad=float(layout.n_pad),
-        ref_code=int(ref_code),
         is_log1p=bool(is_log1p),
-        compute_fc=compute_fc,
-        u2_dtype=_pick_split_dtype(u2_bound),
-        fc_dtype=fc_dtype,
-        tie_dtype=tie_dtype,
-        fc_split_code=fc_split_code,
+        **hist_contract_statics(
+            layout, ref_code, v_buckets, compute_fc=compute_fc, wire=True
+        ),
     )
     pass_args = (perm, pad_mask, table, blk_group, blk_flush)
     state = {"pass": None, "contract": None}

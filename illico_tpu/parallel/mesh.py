@@ -142,26 +142,29 @@ def make_sharded_hist_fn(
     from illico_tpu.ops.hist_engine import (
         DEFAULT_V,
         hist_contract,
+        hist_contract_statics,
         hist_pass,
-        hist_stat_bounds,
         prepare_hist_inputs,
-        _pick_exact_dtype,
+        validate_hist_layout,
     )
 
     if v_buckets is None:
         v_buckets = DEFAULT_V
+    # Same exactness guards as the single-chip engine (minus the packed-wire
+    # total-cell bound — this path ships plain arrays, see
+    # validate_hist_layout); a forced engine='hist' must fail loudly here
+    # too, not silently produce inexact f32 bucket counts.
+    validate_hist_layout(layout, packed_wire=False)
     perm, pad_mask, table, blk_group, blk_flush, ppg = prepare_hist_inputs(
         layout, v_buckets, is_log1p
     )
-    u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
     contract_statics = dict(
         n_pad=float(layout.n_pad),
-        ref_code=int(ref_code),
         is_log1p=bool(is_log1p),
-        compute_fc=compute_fc,
-        u2_dtype=_pick_exact_dtype(u2_bound),
-        fc_dtype=_pick_exact_dtype(fc_bound),
         pack=False,
+        **hist_contract_statics(
+            layout, ref_code, v_buckets, compute_fc=compute_fc, wire=False
+        ),
     )
 
     col = PartitionSpec(None, "genes")

@@ -125,3 +125,67 @@ def test_mesh_more_devices_than_available_raises():
 
     with pytest.raises(ValueError, match="available"):
         make_gene_mesh(len(jax.devices()) + 1)
+
+
+def test_mesh_hist_guards_apply(problem, monkeypatch):
+    """A forced engine='hist' over a mesh must hit the same f32
+    bucket-exactness guard as the single-chip engine (validate_hist_layout)
+    rather than silently produce inexact counts — minus the packed-wire
+    total-cell bound, which does not constrain the unpacked mesh path."""
+    import illico_tpu.ops.hist_engine as he
+    from illico_tpu.parallel.mesh import make_sharded_hist_fn
+
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    x, labels = problem
+    _, info = encode_and_count_groups(labels, 0)
+    layout = build_padded_layout(info.perm, info.indptr)
+    mesh = make_gene_mesh(2)
+
+    monkeypatch.setattr(he, "HIST_EXACT_MAX_GROUP", 50)
+    with pytest.raises(ValueError, match="sort"):
+        make_sharded_hist_fn(
+            layout, mesh, ref_code=0, is_log1p=False, interpret=True
+        )
+    monkeypatch.setattr(he, "HIST_EXACT_MAX_GROUP", 2**24)
+
+    # The total-cell (wire-split) bound must NOT trip the mesh path.
+    monkeypatch.setattr(he, "HIST_MAX_TOTAL_CELLS", 70)
+    fn = make_sharded_hist_fn(
+        layout, mesh, ref_code=0, is_log1p=False, interpret=True
+    )
+    assert fn is not None
+
+
+def test_mesh_hist_narrows_tie_dtype(problem):
+    """The mesh path applies the same static-bound dtype narrowing as the
+    single-chip wire (round-1 weakness: tie_dtype was left float64)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from illico_tpu.ops.hist_engine import make_hist_tile_fn
+    from illico_tpu.parallel.mesh import make_sharded_hist_fn
+
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    x, labels = problem
+    _, info = encode_and_count_groups(labels, 0)
+    layout = build_padded_layout(info.perm, info.indptr)
+    mesh = make_gene_mesh(2)
+    fn = make_sharded_hist_fn(
+        layout, mesh, ref_code=info.ref_code, is_log1p=False, interpret=True
+    )
+    w = x.shape[1]  # 64 columns; the single-chip engine pads to 128
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "genes")))
+    out = fn(xs)
+    # Group sizes here (~330 cells) bound tie_seg below 2**31: the mesh
+    # must ship a narrowed integer array, not float64.
+    assert np.dtype(out["tie_seg"].dtype).itemsize <= 4
+    # And the values must match the single-chip engine's exact float64.
+    single = make_hist_tile_fn(
+        layout, ref_code=info.ref_code, is_log1p=False, interpret=True
+    )
+    want = single.unpack(np.asarray(single(jnp.asarray(x))))
+    np.testing.assert_array_equal(
+        np.asarray(out["tie_seg"], dtype=np.float64)[:, :w],
+        np.asarray(want["tie_seg"], dtype=np.float64)[:, :w],
+    )
