@@ -54,6 +54,40 @@ class SetupHang(RuntimeError):
     pass
 
 
+def _preflight_device_probe(attempts: int = 2, timeout_s: float = 150.0):
+    """Probe TPU liveness in a SUBPROCESS with a hard timeout.
+
+    The in-process SIGALRM watchdog cannot interrupt a runtime init stuck
+    inside a blocking C call (observed: ``jax.devices()`` hanging
+    indefinitely during tunnel outages).  A subprocess probe is killable
+    from outside regardless, so a dead tunnel costs bounded wall time and
+    leaves a clear log line instead of an opaque harness timeout.
+    """
+    import subprocess
+
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            msg = r.stderr.decode(errors="replace").strip()[-300:]
+        except subprocess.TimeoutExpired:
+            msg = f"probe timed out after {timeout_s:.0f}s"
+        print(f"# device probe attempt {attempt} failed: {msg}",
+              file=sys.stderr, flush=True)
+        if _elapsed() > CAP_S:
+            break
+        time.sleep(30)
+    # A fresh process does not fix a dead tunnel — exit instead of the
+    # re-exec retry loop so the remaining budget is not burned.
+    print("# TPU devices unreachable (tunnel down); no benchmark possible",
+          file=sys.stderr, flush=True)
+    sys.exit(3)
+
+
 def make_device_data(n_cells, n_genes, n_groups, seed=0):
     import jax
     import jax.numpy as jnp
@@ -124,6 +158,7 @@ def main():
     def _on_alarm(signum, frame):
         raise SetupHang("setup watchdog expired")
 
+    _preflight_device_probe()
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(420 if not quick else 240)
 

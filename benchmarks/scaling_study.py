@@ -1,0 +1,182 @@
+"""Device-compute scaling study: tile width, group count, cell count.
+
+The reference publishes a 1/2/4/8-thread scaling table
+(``/root/reference/README.md:137-147``).  Multi-chip hardware is not
+available in this environment, so the measurable scaling axes are the
+per-device ones: how device compute scales with tile width (columns per
+dispatch), group count, and cell count, for both engines.  This
+substantiates the "device compute is a small, linearly-scaling slice of
+the pipeline" claim with data (VERDICT round-1 item 6).
+
+Methodology: the engine tile functions are invoked on HBM-resident data
+and forced with a device-side scalar reduction fetched via ``device_get``
+(8 bytes) — the development tunnel's bandwidth therefore does not
+contaminate the measurement (``jax.block_until_ready`` does not block on
+this backend; a scalar pull is the cheapest true fence).  min-of-N over
+``--runs`` repetitions per point; executables ride the persistent compile
+cache.
+
+Usage:  python benchmarks/scaling_study.py [--quick] [--runs N] [--out PATH]
+"""
+
+import argparse
+import json
+import platform
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE = dict(n_cells=50_000, n_groups=100, width=512)
+
+SWEEPS = {
+    "width": [128, 256, 512, 1024, 2048],
+    "n_groups": [50, 200, 1000, 5000],
+    "n_cells": [12_500, 25_000, 50_000, 100_000, 200_000],
+}
+
+# --quick: small base so the mechanics can be smoke-tested on the
+# single-core CPU backend in minutes.
+QUICK_BASE = dict(n_cells=6_000, n_groups=20, width=128)
+
+QUICK_SWEEPS = {
+    "width": [128, 256],
+    "n_groups": [20, 50],
+    "n_cells": [6_000, 12_000],
+}
+
+
+def _make_problem(n_cells, n_groups, width, seed=0):
+    """HBM-resident count tile + group layout (Poisson ~90% zeros, the
+    headline bench's distribution)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    x = rng.poisson(2.0, (n_cells, width)).astype(np.float32)
+    x[rng.rand(n_cells, width) < 0.9] = 0
+    labels = rng.randint(1, n_groups, n_cells)
+    labels[rng.rand(n_cells) < 0.1] = 0
+    from illico_tpu.utils.groups import encode_and_count_groups
+
+    _, info = encode_and_count_groups(labels, 0)
+    return jnp.asarray(x), info
+
+
+def _time_device_compute(fn, x, runs):
+    """min-of-N wall time of fn(x) forced via an 8-byte scalar pull."""
+    import jax
+    import jax.numpy as jnp
+
+    def force(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+        return float(jax.device_get(s))
+
+    force(fn(x))  # compile + first-touch outside the timer
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        force(fn(x))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _point(n_cells, n_groups, width, engine, runs):
+    from illico_tpu.ops.rank_engine import build_padded_layout, make_tile_fn
+
+    x, info = _make_problem(n_cells, n_groups, width)
+    layout = build_padded_layout(info.perm, info.indptr)
+    if engine == "hist":
+        import jax
+
+        from illico_tpu.ops.hist_engine import make_hist_tile_fn
+
+        fn = make_hist_tile_fn(
+            layout, ref_code=info.ref_code, is_log1p=False,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        fn = make_tile_fn(layout, ref_code=info.ref_code, is_log1p=False)
+    dt = _time_device_compute(fn, x, runs)
+    n_tests = (info.n_groups - 1) * width
+    return {
+        "engine": engine,
+        "n_cells": n_cells,
+        "n_groups": n_groups,
+        "width": width,
+        "device_s": round(dt, 5),
+        "tests_per_s": round(n_tests / dt, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--engines", default="hist,sort",
+        help="comma-separated subset of hist,sort",
+    )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (smoke testing; the sitecustomize "
+        "in this environment force-registers the TPU platform)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import illico_tpu
+    from illico_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    engines = [e for e in args.engines.split(",") if e]
+    sweeps = QUICK_SWEEPS if args.quick else SWEEPS
+    base = QUICK_BASE if args.quick else BASE
+
+    results = []
+    for axis, values in sweeps.items():
+        for v in values:
+            cfg = dict(base)
+            cfg[axis] = v
+            for engine in engines:
+                rec = _point(
+                    cfg["n_cells"], cfg["n_groups"], cfg["width"],
+                    engine, args.runs,
+                )
+                rec["axis"] = axis
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+
+    payload = {
+        "version": illico_tpu.__version__,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "python": platform.python_version(),
+        "base": BASE,
+        "note": (
+            "device-compute only (scalar-pull fence; tunnel bandwidth "
+            "excluded); OVO vs group 0; min-of-%d" % args.runs
+        ),
+        "results": results,
+    }
+    out = args.out or (
+        Path(__file__).resolve().parent.parent
+        / ".benchmarks"
+        / f"scaling_{jax.default_backend()}_{illico_tpu.__version__}.json"
+    )
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    Path(out).write_text(json.dumps(payload, indent=2))
+    print(f"# saved {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
