@@ -36,9 +36,10 @@ REF_SENTINEL_P = 1.0
 REF_SENTINEL_U = -1.0
 
 
-@functools.partial(jax.jit, static_argnames=("w", "is_log1p"))
-def _sampled_device_stats(x, start, w: int, is_log1p: bool):
-    """(max, table-conformity) of a ``w``-column window at a traced offset.
+@functools.partial(jax.jit, static_argnames=("w",))
+def _sampled_device_stats(x, start, w: int):
+    """(max, row-strided sample slab) of a ``w``-column window at a traced
+    offset.
 
     Jitted (and therefore persistently cacheable) on purpose: eager
     slicing + max would build fresh eager executables in every process —
@@ -46,21 +47,19 @@ def _sampled_device_stats(x, start, w: int, is_log1p: bool):
     runner setup.  The traced ``start`` lets head/middle/tail windows share
     one executable.
 
-    Conformity mirrors the histogram engine's tabulation rule exactly
-    (``ops/hist_engine.make_value_table``): after the engine's float32
-    cast, every value must equal a table entry — a nonnegative integer for
-    raw counts, ``float32(log1p(k))`` for log1p data.  Normalized or scaled
-    expression fails this and belongs on the sort engine.
+    The max is computed on device (dtype-exact).  Table CONFORMITY is
+    deliberately NOT computed here: the value table is built with numpy
+    float32 transcendentals (``ops/hist_engine.make_value_table``), and
+    XLA's f32 ``log1p``/``expm1`` can differ from libm by ULPs — a device
+    rebuild would misroute data the table accepts (or vice versa).  The
+    returned ~4k-row slab (a few hundred KB) is pulled to host and probed
+    with the same numpy expressions that build the table.
     """
     import jax.numpy as jnp
 
     t = jax.lax.dynamic_slice_in_dim(x, start, w, axis=1).astype(jnp.float32)
-    if is_log1p:
-        rebuilt = jnp.log1p(jnp.round(jnp.expm1(t)))
-    else:
-        rebuilt = jnp.round(t)
-    conforms = jnp.all((t == rebuilt) & (t >= 0))
-    return jnp.max(t), conforms
+    step = max(1, t.shape[0] // 4096)
+    return jnp.max(t), t[::step]
 
 
 def _copy_to_host_async(out) -> None:
@@ -202,11 +201,14 @@ class WilcoxonRunner:
                 engine = "sort"
             if (
                 engine == "hist"
+                and mesh is None
                 and int(group_info.counts.sum()) >= HIST_MAX_TOTAL_CELLS
             ):
                 # Tie sums scale as n_total**3; past 2**63 the packed
                 # wire's float64 word split stops being value-faithful
-                # (ops/hist_engine._split_hi_lo_words).
+                # (ops/hist_engine._split_hi_lo_words).  Mesh runs ship
+                # plain (unpacked) arrays, so the bound does not apply
+                # there (validate_hist_layout(packed_wire=False)).
                 logger.trace(
                     "Total cells (%d) exceed the histogram engine's "
                     "tie-sum wire bound; using the sort engine.",
@@ -370,6 +372,21 @@ class WilcoxonRunner:
         data fails it and should route to the sort engine up front instead
         of paying a guaranteed-overflowing histogram pass.
         """
+        def _conforms(vals: np.ndarray) -> bool:
+            # The SAME numpy expressions that build the value table
+            # (``ops/hist_engine.make_value_table``) — numpy/libm and XLA
+            # f32 transcendentals can differ by ULPs, so the probe must
+            # use the table's math, on host, for both input paths.
+            if self.is_log1p:
+                # Mislabeled raw counts > ~88 overflow f32 expm1; the
+                # resulting inf correctly fails conformity, so silence
+                # the incidental RuntimeWarning.
+                with np.errstate(over="ignore"):
+                    rebuilt = np.log1p(np.round(np.expm1(vals)))
+            else:
+                rebuilt = np.round(vals)
+            return bool(np.all((vals == rebuilt) & (vals >= 0)))
+
         try:
             n_genes = self.n_genes
             w = max(1, min(24, n_genes))
@@ -381,13 +398,15 @@ class WilcoxonRunner:
                 # One jitted slice+stats executable, reused for all three
                 # windows (traced start index): warm processes hit the
                 # persistent compile cache instead of paying minutes-long
-                # eager compiles over a remote-compile link.
+                # eager compiles over a remote-compile link.  The device
+                # returns the max plus a small sample slab; conformity is
+                # probed on host with the table's numpy math.
                 for s in starts:
-                    m, ok = _sampled_device_stats(
-                        self.handler.data, s, w, self.is_log1p
-                    )
+                    m, slab = _sampled_device_stats(self.handler.data, s, w)
                     vmax = max(vmax, float(np.asarray(m)))
-                    conforms = conforms and bool(np.asarray(ok))
+                    conforms = conforms and _conforms(
+                        np.asarray(slab).ravel()
+                    )
             else:
                 for s in starts:
                     tile = self.handler.fetch_tile(s, min(s + w, n_genes))
@@ -397,13 +416,7 @@ class WilcoxonRunner:
                     # cap sampled values: O(100k) per window
                     step = max(1, arr.size // 100_000)
                     vals = arr.ravel()[::step].astype(np.float32)
-                    if self.is_log1p:
-                        rebuilt = np.log1p(np.round(np.expm1(vals)))
-                    else:
-                        rebuilt = np.round(vals)
-                    conforms = conforms and bool(
-                        np.all((vals == rebuilt) & (vals >= 0))
-                    )
+                    conforms = conforms and _conforms(vals)
                     vmax = max(vmax, float(vals.max()))
         except Exception:  # sampling must never break the run
             return None, True

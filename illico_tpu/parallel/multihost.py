@@ -33,6 +33,8 @@ and block assembly are exactly the code a real multi-process run executes.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 from illico_tpu.utils.log import logger
@@ -81,11 +83,21 @@ def _looks_like_multiprocess_env() -> bool:
     """True when pod/cluster environment variables announce >1 process."""
     import os
 
-    for var in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
-        v = os.environ.get(var, "")
-        if "," in v or ("://" in v):
-            return True
+    # Multiple worker hostnames => multi-host slice.
+    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    # Multislice sets a coordinator address (conventionally a bare
+    # host:port, no URI scheme): any non-empty value counts.
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS", "").strip():
+        return True
     return False
+
+
+def _window_base(n_genes: int, num_hosts: int, align: int = 128) -> int:
+    """Common (aligned) per-host window width — the one source of truth
+    shared by :func:`host_gene_window` and the all-gather padding."""
+    base = -(-n_genes // num_hosts)  # ceil
+    return -(-base // align) * align  # round up to alignment
 
 
 def host_gene_window(
@@ -100,8 +112,7 @@ def host_gene_window(
     """
     if not 0 <= host_id < num_hosts:
         raise ValueError(f"host_id {host_id} outside [0, {num_hosts}).")
-    base = -(-n_genes // num_hosts)  # ceil
-    base = -(-base // align) * align  # round up to alignment
+    base = _window_base(n_genes, num_hosts, align)
     lb = min(host_id * base, n_genes)
     ub = min(lb + base, n_genes)
     return lb, ub
@@ -125,7 +136,17 @@ class ColumnWindowHandler:
             )
         self.base = base
         self.lb, self.ub = int(lb), int(ub)
-        self.data = base.data
+
+    @property
+    def data(self):
+        # The handler convention exposes the raw matrix as ``.data`` — but
+        # this handler's whole contract is column restriction, and the
+        # base matrix is NOT window-offset.  Fail loudly rather than let a
+        # future consumer silently read full-axis columns.
+        raise AttributeError(
+            "ColumnWindowHandler does not expose .data: the base matrix is "
+            "not window-offset; use fetch_tile/fetch_columns."
+        )
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -165,9 +186,31 @@ def window_handler(base, lb: int, ub: int):
 
         from illico_tpu.utils.registry import data_handler_registry
 
-        sliced = jax.lax.slice_in_dim(base.data, lb, ub, axis=1)
+        # Jitted with a traced start so every host window shares one
+        # persistently-cacheable executable — an eager slice would build a
+        # fresh executable per (process, window), minutes of cold-start
+        # over a remote-compile link (same rationale as
+        # ``models.wilcoxon._sampled_device_stats``).
+        sliced = _jitted_window_slice(base.data, lb, ub - lb)
         return data_handler_registry.get(sliced)
     return ColumnWindowHandler(base, lb, ub)
+
+
+@_functools.lru_cache(maxsize=1)
+def _window_slice_fn():
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("width",))
+    def _slice(x, start, width: int):
+        return jax.lax.dynamic_slice_in_dim(x, start, width, axis=1)
+
+    return _slice
+
+
+def _jitted_window_slice(data, start: int, width: int):
+    return _window_slice_fn()(data, start, width)
 
 
 def _run_host_window(
@@ -235,15 +278,26 @@ def _run_host_window(
 
 
 def _assemble_blocks(blocks, n_groups: int, n_genes: int) -> np.ndarray:
-    """Scatter per-host ``(lb, ub, block)`` windows into one full result."""
+    """Scatter per-host ``(lb, ub, block)`` windows into one full result.
+
+    Windows must tile [0, n_genes) exactly — disjointness is checked per
+    window, not just by summed width, so an overlapping-plus-gap
+    misconfiguration cannot slip uninitialized memory into the results.
+    """
     out = np.empty((n_groups, n_genes, 3), np.float64)
-    covered = 0
-    for lb, ub, block in blocks:
+    prev_ub = 0
+    for lb, ub, block in sorted(blocks, key=lambda b: b[0]):
+        if lb != prev_ub or ub < lb:
+            raise RuntimeError(
+                f"Host windows do not tile the gene axis: window [{lb}, {ub}) "
+                f"follows coverage up to {prev_ub} — inconsistent "
+                "(n_genes, num_hosts) across hosts?"
+            )
         out[:, lb:ub, :] = block[:, : ub - lb, :]
-        covered += ub - lb
-    if covered != n_genes:
+        prev_ub = ub
+    if prev_ub != n_genes:
         raise RuntimeError(
-            f"Host windows cover {covered} of {n_genes} genes — "
+            f"Host windows cover only [0, {prev_ub}) of {n_genes} genes — "
             "inconsistent (n_genes, num_hosts) across hosts?"
         )
     return out
@@ -259,8 +313,7 @@ def _allgather_blocks(
     from jax.experimental import multihost_utils
 
     G = block.shape[0]
-    base = -(-n_genes // num_hosts)
-    base = -(-base // 128) * 128
+    base = _window_base(n_genes, num_hosts)
     padded = np.zeros((G, base, 3), np.float64)
     padded[:, : ub - lb, :] = block
     gathered = multihost_utils.process_allgather(padded)  # (hosts, G, base, 3)

@@ -580,3 +580,32 @@ def test_device_resident_short_tail_tile():
     df_host = asymptotic_wilcoxon_arrays(X, groups, **kw)
     df_dev = asymptotic_wilcoxon_arrays(jnp.asarray(X), groups, **kw)
     pd.testing.assert_frame_equal(df_host, df_dev)
+
+
+def test_device_resident_non_integer_routes_to_sort():
+    """The device-resident conformity probe pulls a sample slab and checks
+    it with the SAME numpy math that builds the value table (XLA f32
+    transcendentals can differ by ULPs): normalized device data must route
+    to sort up front, device count data must keep the histogram engine."""
+    import jax.numpy as jnp
+
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    rng = np.random.RandomState(7)
+    counts = rng.poisson(2.0, (800, 12)).astype(np.float32)
+    counts[rng.rand(*counts.shape) < 0.5] = 0
+    labels = np.array(["a", "b", "c"])[rng.randint(0, 3, 800)]
+    _, info = encode_and_count_groups(labels, "a")
+
+    def engine_for(X, is_log1p=False):
+        return WilcoxonRunner(
+            data_handler_registry.get(jnp.asarray(X)), info, is_log1p=is_log1p
+        ).engine
+
+    norm = counts / np.maximum(counts.sum(axis=1, keepdims=True), 1) * 1e4
+    assert engine_for(norm) == "sort"
+    assert engine_for(np.log1p(norm), is_log1p=True) == "sort"
+    assert engine_for(counts) == "hist"
+    assert engine_for(np.log1p(counts), is_log1p=True) == "hist"

@@ -198,3 +198,25 @@ def test_simulate_multihost_rejects_oversubscription():
             adata, is_log1p=False, group_keys="group", reference="p0",
             n_hosts=100, devices_per_host=100,
         )
+
+
+def test_assemble_blocks_detects_overlap_with_matching_total():
+    """Overlap + gap whose widths sum to exactly n_genes must still raise:
+    a summed-width check alone would let uninitialized memory through
+    (windows [0,128)+[100,200)+[228,256) sum to 256 but miss [200,228))."""
+    blocks = [
+        (0, 128, np.zeros((2, 128, 3))),
+        (100, 200, np.zeros((2, 100, 3))),
+        (228, 256, np.zeros((2, 28, 3))),
+    ]
+    with pytest.raises(RuntimeError, match="tile"):
+        _assemble_blocks(blocks, 2, 256)
+
+
+def test_window_handler_data_attribute_is_blocked():
+    """ColumnWindowHandler must not expose the un-offset base matrix as
+    ``.data`` — a consumer reading it would silently get full-axis columns."""
+    x = np.random.RandomState(0).poisson(1.0, (50, 256)).astype(np.float32)
+    h = ColumnWindowHandler(data_handler_registry.get(x), 0, 128)
+    with pytest.raises(AttributeError, match="window"):
+        _ = h.data

@@ -189,3 +189,33 @@ def test_mesh_hist_narrows_tie_dtype(problem):
         np.asarray(out["tie_seg"], dtype=np.float64)[:, :w],
         np.asarray(want["tie_seg"], dtype=np.float64)[:, :w],
     )
+
+
+def test_total_cells_bound_does_not_route_mesh_runs_to_sort(monkeypatch):
+    """The n**3 tie-sum bound protects the PACKED wire's float64 word
+    split; mesh runs ship plain arrays, so auto must keep the histogram
+    engine there while the single-chip path falls back to sort."""
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.parallel.mesh import make_gene_mesh
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    import illico_tpu.ops.hist_engine as he
+
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    monkeypatch.setattr(he, "HIST_MAX_TOTAL_CELLS", 70)
+    rng = np.random.RandomState(5)
+    labels = np.array([0] * 30 + [1] * 30 + [2] * 20)
+    X = rng.poisson(2.0, (80, 8)).astype(np.float32)
+    _, info = encode_and_count_groups(labels, 0)
+
+    single = WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False, engine="auto"
+    )
+    assert single.engine == "sort"
+    meshed = WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False, engine="auto",
+        mesh=make_gene_mesh(2),
+    )
+    assert meshed.engine == "hist"
