@@ -54,7 +54,7 @@ class SetupHang(RuntimeError):
     pass
 
 
-def _preflight_device_probe(attempts: int = 2, timeout_s: float = 150.0):
+def _preflight_device_probe(timeout_s: float = 150.0, reserve_s: float = 480.0):
     """Probe TPU liveness in a SUBPROCESS with a hard timeout.
 
     The in-process SIGALRM watchdog cannot interrupt a runtime init stuck
@@ -62,10 +62,18 @@ def _preflight_device_probe(attempts: int = 2, timeout_s: float = 150.0):
     indefinitely during tunnel outages).  A subprocess probe is killable
     from outside regardless, so a dead tunnel costs bounded wall time and
     leaves a clear log line instead of an opaque harness timeout.
+
+    Tunnel outages are transient (observed: multi-hour windows with
+    recoveries in between), so a dead first probe must not forfeit the
+    whole budget: keep probing until only ``reserve_s`` of the cap remains
+    — enough for warm-cache setup plus one timed run — and only then give
+    up.  A fresh process does not fix a dead tunnel, so exit instead of
+    the re-exec retry loop.
     """
     import subprocess
 
-    for attempt in range(attempts):
+    attempt = 0
+    while True:
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -78,11 +86,10 @@ def _preflight_device_probe(attempts: int = 2, timeout_s: float = 150.0):
             msg = f"probe timed out after {timeout_s:.0f}s"
         print(f"# device probe attempt {attempt} failed: {msg}",
               file=sys.stderr, flush=True)
-        if _elapsed() > CAP_S:
+        attempt += 1
+        if _elapsed() > CAP_S - reserve_s:
             break
         time.sleep(30)
-    # A fresh process does not fix a dead tunnel — exit instead of the
-    # re-exec retry loop so the remaining budget is not burned.
     print("# TPU devices unreachable (tunnel down); no benchmark possible",
           file=sys.stderr, flush=True)
     sys.exit(3)
