@@ -54,11 +54,19 @@ def _build() -> Path | None:
         # the cache) or a killed build must never leave a truncated .so
         # at the final path, where it would be "cached" forever.
         tmp = out.with_suffix(f".tmp{os.getpid()}")
-        cmd = [
+        base_cmd = [
             cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
             str(_SRC), "-o", str(tmp), "-lm",
         ]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        # OpenMP first (the consume g-loop parallelizes bit-exactly on
+        # production multi-core hosts; inert at the default 1 thread),
+        # plain build as fallback for toolchains without libgomp.
+        try:
+            subprocess.run(base_cmd + ["-fopenmp"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:  # noqa: BLE001
+            subprocess.run(base_cmd, check=True, capture_output=True,
+                           timeout=120)
         os.replace(tmp, out)
         return out
     except Exception as e:  # noqa: BLE001 - best-effort by contract
@@ -112,6 +120,7 @@ def _load():
             ctypes.POINTER(ctypes.c_double),  # results
             ctypes.c_int64, ctypes.c_int64,   # col0, n_genes
             ctypes.POINTER(ctypes.c_double),  # col_scratch
+            ctypes.c_int32,                   # n_threads
         ]
         _LIB = lib
     except OSError as e:  # pragma: no cover
@@ -224,8 +233,23 @@ def consume_tile_native(
         results.ctypes.data_as(dp),
         ctypes.c_int64(col0), ctypes.c_int64(results.shape[1]),
         scratch.ctypes.data_as(dp),
+        ctypes.c_int32(_tail_threads()),
     )
     return True
+
+
+def _tail_threads() -> int:
+    """Thread count for the native consume loop (bit-exact at any value).
+
+    Defaults to 1: this repo's dev host has a single core shared with the
+    tunnel relay, where extra threads only add contention (CLAUDE.md
+    invariant).  Production multi-core TPU hosts set
+    ``ILLICO_TPU_TAIL_THREADS`` to cut the host statistical tail.
+    """
+    try:
+        return max(1, int(os.environ.get("ILLICO_TPU_TAIL_THREADS", "1")))
+    except ValueError:
+        return 1
 
 
 def native_available() -> bool:

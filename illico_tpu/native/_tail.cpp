@@ -186,8 +186,10 @@ void illico_consume_tile(
     int64_t ref_code,  // -1 => OVR
     int32_t alternative, int32_t use_continuity, int32_t tie_correct,
     double* results, int64_t col0, int64_t n_genes,
-    double* col_scratch  // (w,) workspace
+    double* col_scratch,  // (w,) workspace
+    int32_t n_threads  // <=1: serial (required on this repo's 1-core host)
 ) {
+  (void)n_threads;  // referenced only from the OpenMP pragma below
   const double contin = use_continuity ? 0.5 : 0.0;
   const int64_t GT = G * T;
   const bool ovr = ref_code < 0;
@@ -217,6 +219,15 @@ void illico_consume_tile(
           nref_cells;
   }
 
+  // Group rows are independent (disjoint `results` slices, identical
+  // per-iteration arithmetic), so parallelizing this loop is bit-exact for
+  // any thread count.  Opt-in only: production TPU hosts have many cores,
+  // but this repo's dev host has one (threads would fight the tunnel
+  // relay for it).  The pragma is inert unless compiled with -fopenmp.
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(n_threads) \
+    if (n_threads > 1)
+#endif
   for (int64_t g = 0; g < G; ++g) {
     const double nt = counts[g];
     const double nr = ovr ? n_total - nt : counts[ref_code];

@@ -76,3 +76,21 @@ def test_native_consume_tie_toggles(monkeypatch):
             a["p_value"].to_numpy(), b["p_value"].to_numpy(),
             rtol=1e-12, atol=0.0,
         )
+
+
+@pytest.mark.parametrize("reference", ["p0", None], ids=["ovo", "ovr"])
+def test_native_consume_threaded_is_bit_exact(reference, monkeypatch):
+    """ILLICO_TPU_TAIL_THREADS parallelizes the per-group consume loop;
+    group rows are independent, so any thread count must be bit-identical
+    to the serial result (no reductions cross thread boundaries)."""
+    if not native.native_available():
+        pytest.skip("no C++ toolchain for the native tail")
+    X, groups = _problem(seed=5)
+    kw = dict(reference=reference, progress=False)
+    df_serial = asymptotic_wilcoxon_arrays(X, groups, **kw)
+    monkeypatch.setenv("ILLICO_TPU_TAIL_THREADS", "4")
+    df_threaded = asymptotic_wilcoxon_arrays(X, groups, **kw)
+    for col in ("statistic", "p_value", "fold_change"):
+        np.testing.assert_array_equal(
+            df_serial[col].to_numpy(), df_threaded[col].to_numpy()
+        )
