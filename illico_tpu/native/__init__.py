@@ -104,6 +104,7 @@ def _load():
             ctypes.c_int32,                   # use_continuity
             ctypes.c_int32,                   # tie_correct
             ctypes.POINTER(ctypes.c_double),  # p_out
+            ctypes.c_int32,                   # n_threads
         ]
         ct = lib.illico_consume_tile
         ct.restype = None
@@ -289,5 +290,6 @@ def pvalue_tail_native(
         ctypes.c_int32(1 if use_continuity else 0),
         ctypes.c_int32(1 if tie_correct else 0),
         out.ctypes.data_as(dp),
+        ctypes.c_int32(_tail_threads()),
     )
     return out

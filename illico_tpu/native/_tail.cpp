@@ -35,8 +35,17 @@ void illico_pvalue_tail(
     int32_t alternative,
     int32_t use_continuity,
     int32_t tie_correct,
-    double* p_out) {
+    double* p_out,
+    int32_t n_threads  // <=1: serial (required on this repo's 1-core host)
+) {
+  (void)n_threads;  // referenced only from the OpenMP pragma below
   const double contin = use_continuity ? 0.5 : 0.0;
+  // Rows are independent: bit-exact for any thread count (see
+  // illico_consume_tile).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(n_threads) \
+    if (n_threads > 1)
+#endif
   for (int64_t g = 0; g < n_groups; ++g) {
     const double nr = n_ref[g];
     const double nt = n_tgt[g];

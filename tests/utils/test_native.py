@@ -78,15 +78,17 @@ def test_native_consume_tie_toggles(monkeypatch):
         )
 
 
+@pytest.mark.parametrize("engine", ["hist", "sort"])
 @pytest.mark.parametrize("reference", ["p0", None], ids=["ovo", "ovr"])
-def test_native_consume_threaded_is_bit_exact(reference, monkeypatch):
-    """ILLICO_TPU_TAIL_THREADS parallelizes the per-group consume loop;
-    group rows are independent, so any thread count must be bit-identical
-    to the serial result (no reductions cross thread boundaries)."""
+def test_native_consume_threaded_is_bit_exact(reference, engine, monkeypatch):
+    """ILLICO_TPU_TAIL_THREADS parallelizes the per-group native loops
+    (packed consume for hist, p-value tail for sort); group rows are
+    independent, so any thread count must be bit-identical to the serial
+    result (no reductions cross thread boundaries)."""
     if not native.native_available():
         pytest.skip("no C++ toolchain for the native tail")
     X, groups = _problem(seed=5)
-    kw = dict(reference=reference, progress=False)
+    kw = dict(reference=reference, engine=engine, progress=False)
     df_serial = asymptotic_wilcoxon_arrays(X, groups, **kw)
     monkeypatch.setenv("ILLICO_TPU_TAIL_THREADS", "4")
     df_threaded = asymptotic_wilcoxon_arrays(X, groups, **kw)
