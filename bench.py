@@ -87,7 +87,10 @@ def _preflight_device_probe(timeout_s: float = 150.0, reserve_s: float = 480.0):
         print(f"# device probe attempt {attempt} failed: {msg}",
               file=sys.stderr, flush=True)
         attempt += 1
-        if _elapsed() > CAP_S - reserve_s:
+        # Only commit to another sleep+probe cycle if its worst case still
+        # leaves the full reserve (otherwise a last-minute probe success
+        # would start a setup that cannot finish inside CAP_S).
+        if _elapsed() + 30 + timeout_s > CAP_S - reserve_s:
             break
         time.sleep(30)
     print("# TPU devices unreachable (tunnel down); no benchmark possible",

@@ -36,28 +36,37 @@ REF_SENTINEL_P = 1.0
 REF_SENTINEL_U = -1.0
 
 
-@functools.partial(jax.jit, static_argnames=("w",))
-def _sampled_device_stats(x, start, w: int):
-    """(max, row-strided sample slab) of a ``w``-column window at a traced
+@functools.partial(jax.jit, static_argnames=("w", "is_log1p"))
+def _sampled_device_stats(x, start, w: int, is_log1p: bool):
+    """(max, conformity evidence) of a ``w``-column window at a traced
     offset.
 
     Jitted (and therefore persistently cacheable) on purpose: eager
     slicing + max would build fresh eager executables in every process —
     minutes per cold start over a remote-compile link, all spent inside
     runner setup.  The traced ``start`` lets head/middle/tail windows share
-    one executable.
+    one executable per flag value.
 
-    The max is computed on device (dtype-exact).  Table CONFORMITY is
-    deliberately NOT computed here: the value table is built with numpy
-    float32 transcendentals (``ops/hist_engine.make_value_table``), and
-    XLA's f32 ``log1p``/``expm1`` can differ from libm by ULPs — a device
-    rebuild would misroute data the table accepts (or vice versa).  The
-    returned ~4k-row slab (a few hundred KB) is pulled to host and probed
-    with the same numpy expressions that build the table.
+    Conformity evidence depends on the table's math
+    (``ops/hist_engine.make_value_table``):
+
+    - raw counts (``is_log1p=False``): the table is the nonnegative
+      integers, and f32 ``round``/compare are exact operations — the FULL
+      window is checked on device, and a scalar bool comes back.
+    - log1p data: the table is built with numpy float32 transcendentals,
+      and XLA's f32 ``log1p``/``expm1`` can differ from libm by ULPs — a
+      device rebuild would misroute data the table accepts (or vice
+      versa).  A ~4k-row strided slab (a few hundred KB) comes back
+      instead, probed on host with the same numpy expressions that build
+      the table (a sampled heuristic; per-column overflow detection keeps
+      exactness either way).
     """
     import jax.numpy as jnp
 
     t = jax.lax.dynamic_slice_in_dim(x, start, w, axis=1).astype(jnp.float32)
+    if not is_log1p:
+        conforms = jnp.all((t == jnp.round(t)) & (t >= 0))
+        return jnp.max(t), conforms
     step = max(1, t.shape[0] // 4096)
     return jnp.max(t), t[::step]
 
@@ -398,15 +407,20 @@ class WilcoxonRunner:
                 # One jitted slice+stats executable, reused for all three
                 # windows (traced start index): warm processes hit the
                 # persistent compile cache instead of paying minutes-long
-                # eager compiles over a remote-compile link.  The device
-                # returns the max plus a small sample slab; conformity is
-                # probed on host with the table's numpy math.
+                # eager compiles over a remote-compile link.  Raw counts:
+                # full-window device-side check (f32 round/compare are
+                # exact).  log1p: the device returns a sample slab and the
+                # host probes it with the table's numpy transcendentals.
                 for s in starts:
-                    m, slab = _sampled_device_stats(self.handler.data, s, w)
-                    vmax = max(vmax, float(np.asarray(m)))
-                    conforms = conforms and _conforms(
-                        np.asarray(slab).ravel()
+                    m, ev = _sampled_device_stats(
+                        self.handler.data, s, w, self.is_log1p
                     )
+                    vmax = max(vmax, float(np.asarray(m)))
+                    if self.is_log1p:
+                        ok = _conforms(np.asarray(ev).ravel())
+                    else:
+                        ok = bool(np.asarray(ev))
+                    conforms = conforms and ok
             else:
                 for s in starts:
                     tile = self.handler.fetch_tile(s, min(s + w, n_genes))
