@@ -653,10 +653,13 @@ class WilcoxonRunner:
 
         counts = info.counts.astype(np.float64)
         n_total = float(info.n_cells)
-        # Group whose fc-sum row travels as a separate per-column array
+        # Groups whose fc-sum / R2 rows travel as separate per-column arrays
         # (hist engine only; -1 elsewhere).
         fc_split = int(
             getattr(self.tile_fn, "_statics", {}).get("fc_split_code", -1)
+        )
+        u2_split = int(
+            getattr(self.tile_fn, "_statics", {}).get("u2_split_code", -1)
         )
 
         def consume_stats(cols, out):
@@ -672,7 +675,13 @@ class WilcoxonRunner:
                 # R2/U2/fc_sums may arrive in a narrowed exact dtype
                 # (float32/int32, see hist_engine._pick_exact_dtype); all host
                 # algebra is float64.
-                r_tgt = np.asarray(out["R2"], dtype=np.float64)[:, :w] / 2.0
+                r2 = np.asarray(out["R2"], dtype=np.float64)[:, :w]
+                r2_split = out.get("r2_split_col")
+                if r2_split is not None and u2_split >= 0:
+                    # An active split implies a narrowed wire dtype, so the
+                    # asarray above copied: patching the row is private.
+                    r2[u2_split] = np.asarray(r2_split, np.float64)[:w]
+                r_tgt = r2 / 2.0
                 n_tgt = counts[:, None]
                 n_ref = n_total - n_tgt
                 U[:, cols] = n_ref * n_tgt + n_tgt * (n_tgt + 1.0) / 2.0 - r_tgt
@@ -737,6 +746,7 @@ class WilcoxonRunner:
                         self.alternative, self.use_continuity,
                         self.tie_correct, results, lb,
                         fc_split_code=fc_split,
+                        u2_split_code=u2_split,
                     ):
                         consume_path["native"] += 1
                         if pbar is not None:

@@ -110,6 +110,7 @@ def _load():
         ct.restype = None
         ct.argtypes = [
             ctypes.c_void_p, ctypes.c_int32,  # u2, dtype
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # u2_split_col
             ctypes.c_void_p, ctypes.c_int32,  # fc_sums, dtype
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # fc_split_col
             ctypes.c_void_p, ctypes.c_int32,  # tie_seg, dtype
@@ -168,6 +169,7 @@ def consume_tile_native(
     results: np.ndarray,
     col0: int,
     fc_split_code: int = -1,
+    u2_split_code: int = -1,
 ) -> bool:
     """Fused consume of one packed tile buffer into ``results``.
 
@@ -189,6 +191,8 @@ def consume_tile_native(
         return False
     if fc_split_code >= 0 and "fc_split_col" not in spec:
         return False
+    if u2_split_code >= 0 and "r2_split_col" not in spec:
+        return False
     if not (buf.flags.c_contiguous and results.flags.c_contiguous):
         return False
 
@@ -205,6 +209,10 @@ def consume_tile_native(
         u2_p, u2_d = enc(u2_key)
         fc_p, fc_d = enc("fc_sums")
         tc_p, tc_d = enc(tie_col_key)
+        if u2_split_code >= 0:
+            us_p, us_d = enc("r2_split_col")
+        else:
+            us_p, us_d = 0, _DT_F64_HILO
         if fc_split_code >= 0:
             fs_p, fs_d = enc("fc_split_col")
         else:
@@ -220,6 +228,8 @@ def consume_tile_native(
 
     lib.illico_consume_tile(
         ctypes.c_void_p(u2_p), ctypes.c_int32(u2_d),
+        ctypes.c_void_p(us_p), ctypes.c_int32(us_d),
+        ctypes.c_int64(u2_split_code),
         ctypes.c_void_p(fc_p), ctypes.c_int32(fc_d),
         ctypes.c_void_p(fs_p), ctypes.c_int32(fs_d),
         ctypes.c_int64(fc_split_code),

@@ -174,6 +174,9 @@ inline double pval(double u, double tie, double nr, double nt, double mu,
 extern "C" {
 
 // u2:      (G, T) U2 (OVO) or R2 (OVR), dtype u2_dtype
+// u2_split_col: (T,) R2 row of group u2_split_code (OVR), shipped
+//          separately so one huge group does not widen the whole R2
+//          encoding; null/-1 when absent (then u2 holds every row)
 // fc_sums: (G, T) per-group expression sums, dtype fc_dtype
 // fc_split_col: (T,) expression sums of group fc_split_code, shipped
 //          separately so one huge group does not widen the whole fc_sums
@@ -186,6 +189,7 @@ extern "C" {
 //          in [p, U, fc] order.
 void illico_consume_tile(
     const void* u2, int32_t u2_dtype,
+    const void* u2_split_col, int32_t u2_split_dtype, int64_t u2_split_code,
     const void* fc_sums, int32_t fc_dtype,
     const void* fc_split_col, int32_t fc_split_dtype, int64_t fc_split_code,
     const void* tie_seg, int32_t tie_seg_dtype,
@@ -246,7 +250,10 @@ void illico_consume_tile(
     const double u_base = ovr ? nr * nt + nt * (nt + 1.0) / 2.0 : nr * nt;
     double* row = results + (g * n_genes + col0) * 3;
     for (int64_t j = 0; j < w; ++j) {
-      const double u = u_base - 0.5 * decode(u2, u2_dtype, g * T + j, GT);
+      const double r2 = g == u2_split_code
+                            ? decode(u2_split_col, u2_split_dtype, j, T)
+                            : decode(u2, u2_dtype, g * T + j, GT);
+      const double u = u_base - 0.5 * r2;
       double tie = 0.0;
       if (tie_correct) {
         tie = decode(tie_col, tie_col_dtype, j, T);

@@ -483,6 +483,7 @@ def hist_contract(
     fc_dtype: str = "float64",
     tie_dtype: str = "float64",
     fc_split_code: int = -1,
+    u2_split_code: int = -1,
     pack: bool = False,
 ):
     """64-bit stage: all statistics as exact float64 histogram contractions.
@@ -501,6 +502,12 @@ def hist_contract(
     separate per-column uint32 array (``fc_split_col``) and zeroes it inside
     ``fc_sums``: one huge group (typically the OVO control) otherwise forces
     a wider encoding onto the whole (G, T) array.
+
+    ``u2_split_code >= 0`` (OVR only) applies the same row split to R2: the
+    largest group's rank-sum row travels as a separate float64 per-column
+    array (``r2_split_col``, hi/lo word-packed — one row, negligible bytes)
+    so the remaining (G, T) array can drop a wire tier (typically u40 ->
+    int32, 5 -> 4 bytes per test at K562 scale).
 
     ``pack=True`` returns one uint8 buffer (see :func:`pack_device_outputs`)
     so each tile's results cross the link as a single transfer."""
@@ -536,7 +543,11 @@ def hist_contract(
 
     if ref_code == -1:
         r2tab = 2.0 * ccum_excl + c + 1.0
-        out["R2"] = jnp.sum(h * r2tab[None], axis=1).astype(u2_dev)
+        r2 = jnp.sum(h * r2tab[None], axis=1)
+        if u2_split_code >= 0:
+            out["r2_split_col"] = r2[u2_split_code]  # float64, hi/lo packed
+            r2 = r2.at[u2_split_code].set(0.0)
+        out["R2"] = r2.astype(u2_dev)
         out["tie_col"] = jnp.sum(c * c * c - c, axis=0)
         # Zeros of the padded layout never reach real buckets, so group sizes
         # are implicit; nothing else needed for OVR.
@@ -573,7 +584,7 @@ _jitted_hist_contract = jax.jit(
     hist_contract,
     static_argnames=(
         "n_pad", "ref_code", "is_log1p", "compute_fc", "u2_dtype", "fc_dtype",
-        "tie_dtype", "fc_split_code", "pack",
+        "tie_dtype", "fc_split_code", "u2_split_code", "pack",
     ),
 )
 
@@ -737,13 +748,29 @@ def hist_contract_statics(
             fc_split_code = big
             fc_dtype = rest_dtype
 
+    # Same row split for OVR rank sums: R2[g] is bounded by
+    # 2 * n_g * n_total (every rank <= 2 * n_total in doubled-midrank
+    # units), so one huge group (the control at K562 scale) forces u40 on
+    # the whole (G, T) array while every other row fits int32.  Its row
+    # ships as float64 per-column (hi/lo packed, one row — negligible).
+    u2_dtype = pick(u2_bound)
+    u2_split_code = -1
+    if wire and ref_code == -1 and real.size > 1:
+        big = int(np.argmax(real))
+        rest_bound = 2.0 * float(np.delete(real, big).max()) * real.sum()
+        rest_dtype = pick(rest_bound)
+        if _DTYPE_WIRE_BYTES[rest_dtype] < _DTYPE_WIRE_BYTES[u2_dtype]:
+            u2_split_code = big
+            u2_dtype = rest_dtype
+
     return dict(
         ref_code=int(ref_code),
         compute_fc=compute_fc,
-        u2_dtype=pick(u2_bound),
+        u2_dtype=u2_dtype,
         fc_dtype=fc_dtype,
         tie_dtype=tie_dtype,
         fc_split_code=fc_split_code,
+        u2_split_code=u2_split_code,
     )
 
 

@@ -367,7 +367,9 @@ def test_log1p_data_exact_parity():
 
 def test_production_scale_tier_selection():
     """K562-scale group sizes select the narrow tiers the bench relies on:
-    OVO = 10 B/test (u24 + u40 + u16/split), OVR = 7 B/test (u40 + u16/split).
+    OVO = 10 B/test (u24 + u40 + u16/split), OVR = 6 B/test
+    (int32/split + u16/split — the control's R2 and fc rows each ship as
+    one separate per-column array).
     """
     from illico_tpu.ops.rank_engine import build_padded_layout
     from illico_tpu.utils.groups import encode_and_count_groups
@@ -392,7 +394,10 @@ def test_production_scale_tier_selection():
     assert ovo["fc_split_code"] == info.ref_code
 
     ovr, _ = statics_for(None)
-    assert ovr["u2_dtype"] == "u40"         # 2*M_max*n ~ 1.8e10
+    # control row split out: rest bound 2*M_max*n ~ 9e7 -> int32 (the
+    # unsplit bound 2*R*n ~ 1.8e10 would force u40 on the whole array)
+    assert ovr["u2_dtype"] == "int32"
+    assert ovr["u2_split_code"] >= 0
     assert ovr["tie_dtype"] == "float64"    # OVR ships no (G, T) tie array
     assert ovr["fc_dtype"] == "uint16"
     assert ovr["fc_split_code"] >= 0
@@ -609,3 +614,60 @@ def test_device_resident_non_integer_routes_to_sort():
     assert engine_for(np.log1p(norm), is_log1p=True) == "sort"
     assert engine_for(counts) == "hist"
     assert engine_for(np.log1p(counts), is_log1p=True) == "hist"
+
+
+def test_ovr_r2_row_split_drops_wire_tier_and_stays_exact():
+    """OVR with one dominant group (the K562 control pattern): R2's bound
+    2*n_max*n_total forces u40 on the whole (G, T) array unless the big
+    row ships separately; with the split the bulk drops to int32 and both
+    consume paths (native, numpy) stay scipy-exact — including the split
+    group's own test, whose R2 row travels as ``r2_split_col``."""
+    from scipy.stats import mannwhitneyu
+
+    import illico_tpu.native as native
+    from illico_tpu import asymptotic_wilcoxon_arrays
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    rng = np.random.RandomState(23)
+    n_big, n_small = 35_000, 500
+    labels = np.array(
+        ["big"] * n_big + ["a"] * n_small + ["b"] * (n_small - 9)
+    )
+    rng.shuffle(labels)
+    X = rng.poisson(2.0, (labels.size, 6)).astype(np.float32)
+    X[rng.rand(*X.shape) < 0.8] = 0
+
+    _, info = encode_and_count_groups(labels, None)
+    runner = WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False, engine="hist"
+    )
+    statics = runner.tile_fn._statics
+    big_code = int(np.argmax(info.counts))
+    assert statics["u2_split_code"] == big_code
+    assert statics["u2_dtype"] == "int32"  # 2*500*36k ~ 3.6e7 < 2^31
+
+    def oracle(df):
+        Xd = X.astype(np.float64)
+        for g in ("big", "a", "b"):
+            tgt = labels == g
+            for j in range(X.shape[1]):
+                r = mannwhitneyu(
+                    Xd[~tgt, j], Xd[tgt, j],
+                    alternative="two-sided", method="asymptotic",
+                )
+                got = df.loc[(g, f"gene_{j}")]
+                assert got["statistic"] == r.statistic, (g, j)
+                assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue, (g, j)
+
+    kw = dict(reference=None, engine="hist", progress=False)
+    oracle(asymptotic_wilcoxon_arrays(X, labels, **kw))
+
+    # numpy fallback consume path (r2_split_col restored host-side)
+    lib, tried = native._LIB, native._TRIED
+    try:
+        native._LIB, native._TRIED = None, True
+        oracle(asymptotic_wilcoxon_arrays(X, labels, **kw))
+    finally:
+        native._LIB, native._TRIED = lib, tried
