@@ -88,4 +88,33 @@ def test_randomized_tpu_stress():
             f"trial {trial}: n={n} t={t} g={g} lam={lam} log1p={log1p} "
             f"alt={alt} {mode}/{engine} OK", flush=True,
         )
+
+    # Deterministic large-OVR trial: 2*n_ctl*n_total ~ 3.6e9 > 2^31, so
+    # the R2 row split (r2_split_col wire path) engages on hardware —
+    # the randomized scales above stay below the split threshold.
+    r = np.random.RandomState(7)
+    n, t = 50_000, 40
+    counts = r.poisson(2.0, (n, t)).astype(np.float64)
+    counts[r.rand(n, t) >= 0.3] = 0
+    x = counts.astype(np.float32)
+    labels = r.randint(0, 6, n)
+    labels[r.rand(n) < 0.6] = 0
+    labels[:6] = np.arange(6)
+    groups = np.array([f"g{v}" for v in labels])
+    df = asymptotic_wilcoxon_arrays(
+        x, groups, is_log1p=False, reference=None, progress=False,
+    )
+    xd = x.astype(np.float64)
+    for gr in ("g0", "g3"):  # g0 = the split (dominant) group's own test
+        tgt = groups == gr
+        for j in (0, t - 1):
+            rr = stats.mannwhitneyu(
+                xd[~tgt, j], xd[tgt, j],
+                alternative="two-sided", method="asymptotic",
+            )
+            got = df.loc[(gr, f"gene_{j}")]
+            assert got["statistic"] == rr.statistic, ("r2split", gr, j)
+            assert abs(got["p_value"] - rr.pvalue) <= 1e-12 * rr.pvalue
+            n_checked += 1
+    print("r2-split trial: n=50000 t=40 ovr OK", flush=True)
     print(f"STRESS PASS: {n_checked} checks in {time.time()-t_start:.0f}s")
