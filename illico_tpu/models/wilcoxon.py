@@ -678,8 +678,9 @@ class WilcoxonRunner:
                 r2 = np.asarray(out["R2"], dtype=np.float64)[:, :w]
                 r2_split = out.get("r2_split_col")
                 if r2_split is not None and u2_split >= 0:
-                    # An active split implies a narrowed wire dtype, so the
-                    # asarray above copied: patching the row is private.
+                    # Safe to patch in place: the unpacked dict is private to
+                    # this tile (fresh allocation, or a view into the tile's
+                    # own wire buffer which is discarded after consume).
                     r2[u2_split] = np.asarray(r2_split, np.float64)[:w]
                 r_tgt = r2 / 2.0
                 n_tgt = counts[:, None]
@@ -701,8 +702,8 @@ class WilcoxonRunner:
             fc_sums = np.asarray(out["fc_sums"], dtype=np.float64)[:, :w]
             split_col = out.get("fc_split_col")
             if split_col is not None and fc_split >= 0:
-                # An active split implies a narrowed wire dtype, so the
-                # asarray above copied: patching the row is private.
+                # Safe to patch in place: the unpacked dict is private to
+                # this tile (see the R2 split patch above).
                 fc_sums[fc_split] = np.asarray(split_col, np.float64)[:w]
             fc[:, cols] = fold_change_from_summed_expr(
                 fc_sums, info.counts, info.ref_code,

@@ -730,38 +730,43 @@ def hist_contract_statics(
         tie_bound = (m_max**3 - m_max) + 3.0 * r_ref * m_max * (r_ref + m_max)
         tie_dtype = pick(tie_bound)
 
-    # One huge group (typically the OVO control, often 100x the others)
-    # otherwise dictates fc_sums' encoding for the whole (G, T) array; ship
-    # its row separately (uint32, per-column — negligible) when that lets
-    # the bulk array drop a tier.
+    # Row splits: one huge group (typically the OVO/OVR control, often
+    # 100x the others) otherwise dictates the encoding for a whole (G, T)
+    # array; ship its row separately (one row, per-column — negligible)
+    # when that lets the bulk array drop a wire tier.
+    def _try_row_split(big, rest_bound, row_ok, pick_fn, current_dtype):
+        rest_dtype = pick_fn(rest_bound)
+        if row_ok and _DTYPE_WIRE_BYTES[rest_dtype] < _DTYPE_WIRE_BYTES[current_dtype]:
+            return big, rest_dtype
+        return -1, current_dtype
+
     fc_dtype = _pick_exact_dtype(fc_bound)
     fc_split_code = -1
-    if wire and compute_fc and real.size > 1:
-        big = int(np.argmax(real))
-        rest_bound = np.delete(real, big).max() * (v_buckets - 1)
-        row_bound = real[big] * (v_buckets - 1)
-        rest_dtype = _pick_exact_dtype(rest_bound)
-        if (
-            row_bound < 2.0**32
-            and _DTYPE_WIRE_BYTES[rest_dtype] < _DTYPE_WIRE_BYTES[fc_dtype]
-        ):
-            fc_split_code = big
-            fc_dtype = rest_dtype
-
-    # Same row split for OVR rank sums: R2[g] is bounded by
-    # 2 * n_g * n_total (every rank <= 2 * n_total in doubled-midrank
-    # units), so one huge group (the control at K562 scale) forces u40 on
-    # the whole (G, T) array while every other row fits int32.  Its row
-    # ships as float64 per-column (hi/lo packed, one row — negligible).
     u2_dtype = pick(u2_bound)
     u2_split_code = -1
-    if wire and ref_code == -1 and real.size > 1:
+    if wire and real.size > 1:
         big = int(np.argmax(real))
-        rest_bound = 2.0 * float(np.delete(real, big).max()) * real.sum()
-        rest_dtype = pick(rest_bound)
-        if _DTYPE_WIRE_BYTES[rest_dtype] < _DTYPE_WIRE_BYTES[u2_dtype]:
-            u2_split_code = big
-            u2_dtype = rest_dtype
+        rest_max = float(np.delete(real, big).max())
+        if compute_fc:
+            # fc split row travels as uint32, so the big row must fit it.
+            fc_split_code, fc_dtype = _try_row_split(
+                big,
+                rest_max * (v_buckets - 1),
+                row_ok=real[big] * (v_buckets - 1) < 2.0**32,
+                pick_fn=_pick_exact_dtype,
+                current_dtype=fc_dtype,
+            )
+        if ref_code == -1:
+            # OVR rank sums: R2[g] <= 2 * n_g * n_total (every rank
+            # <= 2 * n_total in doubled-midrank units).  The split row
+            # ships as float64 (hi/lo packed), exact for any size.
+            u2_split_code, u2_dtype = _try_row_split(
+                big,
+                2.0 * rest_max * real.sum(),
+                row_ok=True,
+                pick_fn=pick,
+                current_dtype=u2_dtype,
+            )
 
     return dict(
         ref_code=int(ref_code),

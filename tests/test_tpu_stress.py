@@ -90,8 +90,10 @@ def test_randomized_tpu_stress():
         )
 
     # Deterministic large-OVR trial: 2*n_ctl*n_total ~ 3.6e9 > 2^31, so
-    # the R2 row split (r2_split_col wire path) engages on hardware —
-    # the randomized scales above stay below the split threshold.
+    # the R2 row split (r2_split_col wire path) engages the u40->int32
+    # tier drop on hardware every run.  (Skewed randomized OVR trials
+    # above can also engage the split at a lower tier, int32->uint24,
+    # but only on some draws — this trial pins the headline tier.)
     r = np.random.RandomState(7)
     n, t = 50_000, 40
     counts = r.poisson(2.0, (n, t)).astype(np.float64)
