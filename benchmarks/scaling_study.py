@@ -66,26 +66,56 @@ def _make_problem(n_cells, n_groups, width, seed=0):
     return jnp.asarray(x), info
 
 
-def _time_device_compute(fn, x, runs):
-    """min-of-N wall time of fn(x) forced via an 8-byte scalar pull."""
+def _measure_fence_s(runs):
+    """min-of-N cost of the bare 8-byte forcing pull (tunnel latency).
+
+    Subtracted from the timed samples: over the development tunnel a
+    ``device_get`` costs a fixed ~150 ms round trip that would otherwise
+    swamp small-compute points and flatten the scaling curves.
+    """
     import jax
     import jax.numpy as jnp
 
-    def force(out):
-        leaves = jax.tree_util.tree_leaves(out)
-        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-        return float(jax.device_get(s))
-
-    force(fn(x))  # compile + first-touch outside the timer
+    z = jnp.zeros(())
+    float(jax.device_get(z))
     times = []
-    for _ in range(runs):
+    for _ in range(max(runs, 3)):
         t0 = time.perf_counter()
-        force(fn(x))
+        float(jax.device_get(z))
         times.append(time.perf_counter() - t0)
     return min(times)
 
 
-def _point(n_cells, n_groups, width, engine, runs):
+def _time_device_compute(fn, x, runs, inner, fence_s):
+    """min-of-N per-execution device time of ``fn(x)``.
+
+    One jitted tree-sum reducer forces the output (eager per-leaf sums
+    would issue one remote dispatch per array); ``inner`` executions are
+    queued back-to-back and fenced once — device executions serialize in
+    order, so (elapsed - fence) / inner amortizes both the pull latency
+    and dispatch jitter across the batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tree_sum(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    float(jax.device_get(tree_sum(fn(x))))  # compile + first touch
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = None
+        for _k in range(inner):
+            out = fn(x)
+        float(jax.device_get(tree_sum(out)))
+        times.append((time.perf_counter() - t0 - fence_s) / inner)
+    return max(min(times), 1e-9)
+
+
+def _point(n_cells, n_groups, width, engine, runs, inner, fence_s):
     from illico_tpu.ops.rank_engine import build_padded_layout, make_tile_fn
 
     x, info = _make_problem(n_cells, n_groups, width)
@@ -101,7 +131,7 @@ def _point(n_cells, n_groups, width, engine, runs):
         )
     else:
         fn = make_tile_fn(layout, ref_code=info.ref_code, is_log1p=False)
-    dt = _time_device_compute(fn, x, runs)
+    dt = _time_device_compute(fn, x, runs, inner, fence_s)
     n_tests = (info.n_groups - 1) * width
     return {
         "engine": engine,
@@ -127,6 +157,11 @@ def main():
         help="force the CPU backend (smoke testing; the sitecustomize "
         "in this environment force-registers the TPU platform)",
     )
+    ap.add_argument(
+        "--inner", type=int, default=None,
+        help="executions queued per timed sample (default: 4 on TPU to "
+        "amortize the tunnel fence, 1 on CPU)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -141,6 +176,9 @@ def main():
     engines = [e for e in args.engines.split(",") if e]
     sweeps = QUICK_SWEEPS if args.quick else SWEEPS
     base = QUICK_BASE if args.quick else BASE
+    inner = args.inner or (4 if jax.default_backend() == "tpu" else 1)
+    fence_s = _measure_fence_s(args.runs)
+    print(f"# fence_s={fence_s:.4f} inner={inner}", file=sys.stderr)
 
     results = []
     for axis, values in sweeps.items():
@@ -150,7 +188,7 @@ def main():
             for engine in engines:
                 rec = _point(
                     cfg["n_cells"], cfg["n_groups"], cfg["width"],
-                    engine, args.runs,
+                    engine, args.runs, inner, fence_s,
                 )
                 rec["axis"] = axis
                 results.append(rec)
@@ -163,9 +201,13 @@ def main():
         "python": platform.python_version(),
         "base": BASE,
         "note": (
-            "device-compute only (scalar-pull fence; tunnel bandwidth "
-            "excluded); OVO vs group 0; min-of-%d" % args.runs
+            "device-compute only (jitted tree-sum force, one 8-byte pull "
+            "per sample, measured fence latency subtracted, %d executions "
+            "amortized per sample); OVO vs group 0; min-of-%d"
+            % (inner, args.runs)
         ),
+        "fence_s": round(fence_s, 5),
+        "inner": inner,
         "results": results,
     }
     out = args.out or (
