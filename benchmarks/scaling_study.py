@@ -180,7 +180,37 @@ def main():
     fence_s = _measure_fence_s(args.runs)
     print(f"# fence_s={fence_s:.4f} inner={inner}", file=sys.stderr)
 
-    results = []
+    payload = {
+        "version": illico_tpu.__version__,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "python": platform.python_version(),
+        "base": base,
+        "note": (
+            "device-compute only (jitted tree-sum force, one 8-byte pull "
+            "per sample, measured fence latency subtracted, %d executions "
+            "amortized per sample); OVO vs group 0; min-of-%d"
+            % (inner, args.runs)
+        ),
+        "fence_s": round(fence_s, 5),
+        "inner": inner,
+        "complete": False,
+        "results": [],
+    }
+    out = Path(args.out or (
+        Path(__file__).resolve().parent.parent
+        / ".benchmarks"
+        / f"scaling_{jax.default_backend()}_{illico_tpu.__version__}.json"
+    ))
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def _save():
+        # Rewrite after every point: a timeout (remote compiles can eat a
+        # bounded stage budget) keeps the points already measured.
+        tmp = out.with_suffix(".tmp")
+        tmp.write_text(json.dumps(payload, indent=2))
+        tmp.replace(out)
+
     for axis, values in sweeps.items():
         for v in values:
             cfg = dict(base)
@@ -191,32 +221,11 @@ def main():
                     engine, args.runs, inner, fence_s,
                 )
                 rec["axis"] = axis
-                results.append(rec)
+                payload["results"].append(rec)
                 print(json.dumps(rec), flush=True)
-
-    payload = {
-        "version": illico_tpu.__version__,
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-        "python": platform.python_version(),
-        "base": BASE,
-        "note": (
-            "device-compute only (jitted tree-sum force, one 8-byte pull "
-            "per sample, measured fence latency subtracted, %d executions "
-            "amortized per sample); OVO vs group 0; min-of-%d"
-            % (inner, args.runs)
-        ),
-        "fence_s": round(fence_s, 5),
-        "inner": inner,
-        "results": results,
-    }
-    out = args.out or (
-        Path(__file__).resolve().parent.parent
-        / ".benchmarks"
-        / f"scaling_{jax.default_backend()}_{illico_tpu.__version__}.json"
-    )
-    Path(out).parent.mkdir(parents=True, exist_ok=True)
-    Path(out).write_text(json.dumps(payload, indent=2))
+                _save()
+    payload["complete"] = True
+    _save()
     print(f"# saved {out}", file=sys.stderr)
 
 
