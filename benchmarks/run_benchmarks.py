@@ -80,7 +80,36 @@ def main():
         ("ovo-hist-heavytail", x_heavy, groups_heavy, "hist", "non-targeting")
     )
 
-    results = []
+    payload = {
+        "version": illico_tpu.__version__,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "python": platform.python_version(),
+        "shape": {"n_cells": n, "n_genes": t, "n_groups": g},
+        "note": (
+            "device-resident input (HBM), as the reference benchmarks with "
+            "in-RAM data; wall-clock includes result transfers and DataFrame "
+            "assembly; this environment reaches the TPU through a credit-"
+            "limited ~14-40 MB/s development tunnel on a single shared CPU "
+            "core (60 s refill sleeps between runs)"
+        ),
+        "complete": False,
+        "results": [],
+    }
+    out = Path(args.out or (
+        Path(__file__).resolve().parent.parent
+        / ".benchmarks"
+        / f"{jax.default_backend()}_{illico_tpu.__version__}.json"
+    ))
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def _save():
+        # Rewrite after every config: a bounded-budget timeout (cold remote
+        # compiles are minutes each) keeps the configs already measured.
+        tmp = out.with_suffix(".tmp")
+        tmp.write_text(json.dumps(payload, indent=2))
+        tmp.replace(out)
+
     for name, xx, gg, engine, ref in configs:
         kw = dict(
             reference=ref, engine=engine, batch_size=512, progress=False
@@ -99,31 +128,11 @@ def main():
             "mean_s": round(sum(times) / len(times), 4),
             "runs": [round(v, 4) for v in times],
         }
-        results.append(rec)
+        payload["results"].append(rec)
         print(json.dumps(rec), flush=True)
-
-    payload = {
-        "version": illico_tpu.__version__,
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-        "python": platform.python_version(),
-        "shape": {"n_cells": n, "n_genes": t, "n_groups": g},
-        "note": (
-            "device-resident input (HBM), as the reference benchmarks with "
-            "in-RAM data; wall-clock includes result transfers and DataFrame "
-            "assembly; this environment reaches the TPU through a credit-"
-            "limited ~14-40 MB/s development tunnel on a single shared CPU "
-            "core (60 s refill sleeps between runs)"
-        ),
-        "results": results,
-    }
-    out = args.out or (
-        Path(__file__).resolve().parent.parent
-        / ".benchmarks"
-        / f"{jax.default_backend()}_{illico_tpu.__version__}.json"
-    )
-    Path(out).parent.mkdir(parents=True, exist_ok=True)
-    Path(out).write_text(json.dumps(payload, indent=2))
+        _save()
+    payload["complete"] = True
+    _save()
     print(f"# saved {out}", file=sys.stderr)
 
 
