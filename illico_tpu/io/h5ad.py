@@ -118,6 +118,17 @@ class _LazyLayers:
     def items(self):
         return ((k, self[k]) for k in self.keys())
 
+    def copy(self) -> "_LazyLayers":
+        """Copy that stays lazy: shares the h5 group, deep-copies only the
+        layers already materialized (``AnnDataLite.copy`` on a backed file
+        must not densify every on-disk layer)."""
+        new = _LazyLayers(self._group)
+        new._cache = {
+            k: (v.copy() if hasattr(v, "copy") else v)
+            for k, v in self._cache.items()
+        }
+        return new
+
 
 class AnnDataLite:
     """AnnData-compatible container for the DE workflow."""
@@ -158,8 +169,12 @@ class AnnDataLite:
 
     def copy(self) -> "AnnDataLite":
         X = self.X.copy() if hasattr(self.X, "copy") else self.X
-        return AnnDataLite(X, self.obs.copy(), self.var.copy(),
-                           {k: v.copy() for k, v in self.layers.items()})
+        if isinstance(self.layers, _LazyLayers):
+            layers = self.layers.copy()  # stays lazy; see _LazyLayers.copy
+        else:
+            layers = {k: v.copy() for k, v in self.layers.items()}
+        return AnnDataLite(X, self.obs.copy(), self.var.copy(), layers,
+                           isbacked=self.isbacked, filename=self.filename)
 
     def write_h5ad(self, path) -> None:
         write_h5ad(self, path)

@@ -38,7 +38,7 @@ def _cache_dir() -> Path:
     return d
 
 
-def _build() -> Path | None:
+def _build(plain: bool = False) -> Path | None:
     # Fully best-effort: any failure (unreadable source, read-only cache
     # dir, missing compiler) must leave the caller on the numpy fallback,
     # never crash the run.
@@ -61,7 +61,12 @@ def _build() -> Path | None:
         # OpenMP first (the consume g-loop parallelizes bit-exactly on
         # production multi-core hosts; inert at the default 1 thread),
         # plain build as fallback for toolchains without libgomp.
+        # ``plain=True`` skips OpenMP outright — the dlopen-failure retry
+        # path for a cached .so whose libgomp dependency the current
+        # environment cannot satisfy.
         try:
+            if plain:
+                raise RuntimeError("plain build requested")
             subprocess.run(base_cmd + ["-fopenmp"], check=True,
                            capture_output=True, timeout=120)
         except Exception:  # noqa: BLE001
@@ -90,45 +95,67 @@ def _load():
     if path is None:
         return None
     try:
-        lib = ctypes.CDLL(str(path))
-        fn = lib.illico_pvalue_tail
-        fn.restype = None
-        fn.argtypes = [
-            ctypes.POINTER(ctypes.c_double),  # U
-            ctypes.POINTER(ctypes.c_double),  # tie
-            ctypes.POINTER(ctypes.c_double),  # n_ref
-            ctypes.POINTER(ctypes.c_double),  # n_tgt
-            ctypes.c_int64,                   # n_groups
-            ctypes.c_int64,                   # n_cols
-            ctypes.c_int32,                   # alternative
-            ctypes.c_int32,                   # use_continuity
-            ctypes.c_int32,                   # tie_correct
-            ctypes.POINTER(ctypes.c_double),  # p_out
-            ctypes.c_int32,                   # n_threads
-        ]
-        ct = lib.illico_consume_tile
-        ct.restype = None
-        ct.argtypes = [
-            ctypes.c_void_p, ctypes.c_int32,  # u2, dtype
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # u2_split_col
-            ctypes.c_void_p, ctypes.c_int32,  # fc_sums, dtype
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # fc_split_col
-            ctypes.c_void_p, ctypes.c_int32,  # tie_seg, dtype
-            ctypes.c_void_p, ctypes.c_int32,  # tie_col, dtype
-            ctypes.POINTER(ctypes.c_double),  # counts
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # G, T, w
-            ctypes.c_int64,                   # ref_code
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # alt/contin/tie
-            ctypes.POINTER(ctypes.c_double),  # results
-            ctypes.c_int64, ctypes.c_int64,   # col0, n_genes
-            ctypes.POINTER(ctypes.c_double),  # col_scratch
-            ctypes.c_int32,                   # n_threads
-        ]
-        _LIB = lib
-    except OSError as e:  # pragma: no cover
-        logger.debug("native tail load failed: %s", e)
-        _LIB = None
+        lib = _bind(path)
+    except OSError as e:
+        # A cached .so can carry a runtime dependency this environment
+        # cannot satisfy (the cache key is the SOURCE hash only — e.g. an
+        # OpenMP build reused where libgomp is missing).  Drop it and
+        # rebuild dependency-free rather than silently losing the native
+        # fast path for every future run.
+        logger.debug(
+            "native tail load failed (%s); rebuilding without OpenMP", e
+        )
+        try:
+            Path(path).unlink()
+        except OSError:
+            pass
+        path = _build(plain=True)
+        try:
+            lib = _bind(path) if path is not None else None
+        except OSError as e2:  # pragma: no cover
+            logger.debug("native tail reload failed: %s", e2)
+            lib = None
+    _LIB = lib
     return _LIB
+
+
+def _bind(path: Path):
+    """dlopen + declare the ctypes signatures (raises OSError on failure)."""
+    lib = ctypes.CDLL(str(path))
+    fn = lib.illico_pvalue_tail
+    fn.restype = None
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # U
+        ctypes.POINTER(ctypes.c_double),  # tie
+        ctypes.POINTER(ctypes.c_double),  # n_ref
+        ctypes.POINTER(ctypes.c_double),  # n_tgt
+        ctypes.c_int64,                   # n_groups
+        ctypes.c_int64,                   # n_cols
+        ctypes.c_int32,                   # alternative
+        ctypes.c_int32,                   # use_continuity
+        ctypes.c_int32,                   # tie_correct
+        ctypes.POINTER(ctypes.c_double),  # p_out
+        ctypes.c_int32,                   # n_threads
+    ]
+    ct = lib.illico_consume_tile
+    ct.restype = None
+    ct.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,  # u2, dtype
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # u2_split_col
+        ctypes.c_void_p, ctypes.c_int32,  # fc_sums, dtype
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # fc_split_col
+        ctypes.c_void_p, ctypes.c_int32,  # tie_seg, dtype
+        ctypes.c_void_p, ctypes.c_int32,  # tie_col, dtype
+        ctypes.POINTER(ctypes.c_double),  # counts
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # G, T, w
+        ctypes.c_int64,                   # ref_code
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # alt/contin/tie
+        ctypes.POINTER(ctypes.c_double),  # results
+        ctypes.c_int64, ctypes.c_int64,   # col0, n_genes
+        ctypes.POINTER(ctypes.c_double),  # col_scratch
+        ctypes.c_int32,                   # n_threads
+    ]
+    return lib
 
 
 # dtype encodings of illico_consume_tile (keep in sync with _tail.cpp)

@@ -61,36 +61,35 @@ def initialize_distributed(
     ``initialize_distributed()`` with no arguments is the common call; on
     CPU/GPU clusters pass coordinator/process arguments through.  Calling
     this twice, or in a plain single-process session, is safe.
+
+    The no-arg form always ATTEMPTS ``jax.distributed.initialize()`` —
+    jax's own cluster auto-detection covers GCE/GKE TPU slices and
+    multislice, including cases (e.g. plain GCE pod slices) where nothing
+    in ``os.environ`` announces the topology; an env-var sniff here would
+    silently skip those and degrade every host to full-axis compute.  When
+    auto-detection finds no cluster at all (a laptop, this dev host), jax
+    raises ``ValueError: coordinator_address should be defined.`` and the
+    call degrades to a single-process no-op.
     """
     import jax
 
     explicit = coordinator_address is not None or num_processes is not None
     try:
-        if explicit or _looks_like_multiprocess_env():
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-                **kwargs,
-            )
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
     except RuntimeError as e:  # already initialized
         if "already" not in str(e).lower():
             raise
+    except ValueError:
+        # No detectable cluster.  With explicit arguments that is a real
+        # configuration error; bare calls mean single-process.
+        if explicit:
+            raise
     return jax.process_count(), jax.process_index()
-
-
-def _looks_like_multiprocess_env() -> bool:
-    """True when pod/cluster environment variables announce >1 process."""
-    import os
-
-    # Multiple worker hostnames => multi-host slice.
-    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
-        return True
-    # Multislice sets a coordinator address (conventionally a bare
-    # host:port, no URI scheme): any non-empty value counts.
-    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS", "").strip():
-        return True
-    return False
 
 
 def _window_base(n_genes: int, num_hosts: int, align: int = 128) -> int:
@@ -316,8 +315,15 @@ def _allgather_blocks(
     base = _window_base(n_genes, num_hosts)
     padded = np.zeros((G, base, 3), np.float64)
     padded[:, : ub - lb, :] = block
-    gathered = multihost_utils.process_allgather(padded)  # (hosts, G, base, 3)
-    gathered = np.asarray(gathered)
+    # The gather stages each host's block through ``jax.device_put``, which
+    # CANONICALIZES float64 -> float32 whenever the global x64 flag is off —
+    # and library policy is to never set that flag (the engines use local
+    # x64 scopes only).  p/U/fc must survive bit-exactly, so gather the raw
+    # 32-bit words instead: uint32 is canonicalization-stable and the view
+    # round-trip is lossless.
+    words = padded.view(np.uint32)  # (G, base, 6): f64 word pairs
+    gathered = multihost_utils.process_allgather(words)  # (hosts, G, base, 6)
+    gathered = np.ascontiguousarray(gathered).view(np.float64)  # (..., 3)
     blocks = []
     for h in range(num_hosts):
         hlb, hub = host_gene_window(n_genes, num_hosts, h)

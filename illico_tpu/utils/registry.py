@@ -37,12 +37,24 @@ class DataHandlerRegistry(dict):
         return decorator
 
     def get(self, X) -> "DataHandler":
-        try:
-            factory = self[type(X)]
-        except KeyError as e:
+        factory = super().get(type(X))
+        if factory is None:
+            # Device arrays dispatch through the public ``jax.Array`` ABC:
+            # the concrete type (ArrayImpl) is private, and materializing an
+            # instance to learn it would initialize the XLA backend at
+            # import time — which breaks a later jax.distributed.initialize()
+            # on multi-host jobs.  Exact-type lookup stays the rule for
+            # everything else (an ndarray SUBCLASS like np.ma.MaskedArray
+            # must fail loudly, not silently drop its semantics).
+            import sys
+
+            jax = sys.modules.get("jax")
+            if jax is not None and isinstance(X, jax.Array):
+                factory = super().get(jax.Array)
+        if factory is None:
             raise KeyError(
                 f"Support for data type {type(X)} is not implemented."
-            ) from e
+            )
         return factory(X)
 
 
@@ -312,9 +324,13 @@ def _register_jax_array():
     import jax
     import jax.numpy as jnp
 
-    concrete = type(jnp.zeros((1,), jnp.float32))
+    # Registered under the public ABC (resolved via isinstance in
+    # ``DataHandlerRegistry.get``): obtaining the concrete ArrayImpl type
+    # would require creating an array, and that initializes the XLA
+    # backend as a side effect of ``import illico_tpu`` — fatal for
+    # multi-host jobs, where jax.distributed.initialize() must run first.
 
-    @data_handler_registry.register(concrete)
+    @data_handler_registry.register(jax.Array)
     class DeviceDenseDataHandler(DataHandler):
         is_device = True
 

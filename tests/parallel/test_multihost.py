@@ -213,6 +213,64 @@ def test_assemble_blocks_detects_overlap_with_matching_total():
         _assemble_blocks(blocks, 2, 256)
 
 
+def test_allgather_blocks_survive_device_put_canonicalization(monkeypatch):
+    """The DCN gather stages host blocks through ``jax.device_put``, which
+    canonicalizes float64 -> float32 when the global x64 flag is off (the
+    library never sets it).  ``_allgather_blocks`` must move raw 32-bit
+    words so p/U/fc survive bit-exactly."""
+    from jax.experimental import multihost_utils
+
+    from illico_tpu.parallel.multihost import _allgather_blocks
+
+    def staged_allgather(arr, tiled=False):
+        # Mimic process_allgather's multi-process branch (device_put per
+        # local device); the real single-process branch short-circuits
+        # around device_put and would mask the canonicalization.
+        staged = np.asarray(jax.device_put(np.asarray(arr)))
+        return np.expand_dims(staged, axis=0)
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", staged_allgather)
+    rng = np.random.RandomState(7)
+    block = rng.standard_normal((3, 100, 3))  # full f64 mantissas
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        full = _allgather_blocks(0, 100, block, 100, 1)
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+    assert full.dtype == np.float64
+    np.testing.assert_array_equal(full, block)
+
+
+def test_initialize_distributed_degrades_without_cluster():
+    """A bare initialize_distributed() must ATTEMPT jax.distributed
+    bring-up (auto-detection covers pod slices with no announcing env
+    vars) and degrade to (1, 0) when no cluster is detectable; explicit
+    arguments that are incomplete must surface jax's error."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax._src.xla_bridge as xb\n"
+        "from illico_tpu.parallel.multihost import initialize_distributed\n"
+        "assert not xb._backends, 'import must not initialize the backend'\n"
+        "try:\n"
+        "    initialize_distributed(num_processes=2, process_id=0)\n"
+        "except ValueError:\n"
+        "    print('OK')\n"
+        "assert initialize_distributed() == (1, 0)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
+
+
 def test_window_handler_data_attribute_is_blocked():
     """ColumnWindowHandler must not expose the un-offset base matrix as
     ``.data`` — a consumer reading it would silently get full-axis columns."""

@@ -193,6 +193,35 @@ def test_backed_mode_exposes_layers(tmp_path):
     np.testing.assert_array_equal(eager.layers["counts"], X * 2)
 
 
+def test_backed_copy_keeps_layers_lazy(tmp_path):
+    """AnnDataLite.copy() on a backed file must not densify on-disk layers
+    (iterating items() would materialize every one)."""
+    from illico_tpu.io.h5ad import AnnDataLite, read_h5ad, write_h5ad
+
+    rng = np.random.RandomState(1)
+    X = rng.poisson(2.0, (30, 5)).astype(np.float32)
+    ad = AnnDataLite(
+        X,
+        layers={
+            "a": (X * 2).astype(np.float32),
+            "b": (X + 1).astype(np.float32),
+        },
+    )
+    p = tmp_path / "c.h5ad"
+    write_h5ad(ad, p)
+    backed = read_h5ad(p, backed="r")
+    _ = backed.layers["a"]  # materialize one of the two
+
+    cp = backed.copy()
+    assert set(cp.layers._cache) == {"a"}  # 'b' still on disk
+    assert set(backed.layers._cache) == {"a"}
+    # Materialized entries are deep-copied, not shared.
+    cp.layers._cache["a"][0, 0] = -1.0
+    assert backed.layers["a"][0, 0] != -1.0
+    # Lazy entries still readable through the copy.
+    np.testing.assert_array_equal(cp.layers["b"], X + 1)
+
+
 def test_fetch_columns_coalesces_ranges(tmp_path):
     """The generic fetch_columns must issue one backed read per contiguous
     column range (not per column), in any request order, with duplicates."""

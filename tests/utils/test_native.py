@@ -78,6 +78,28 @@ def test_native_consume_tie_toggles(monkeypatch):
         )
 
 
+def test_broken_cached_so_is_rebuilt(tmp_path, monkeypatch):
+    """The .so cache is keyed on the SOURCE hash only, so a cached build can
+    carry a runtime dependency this environment cannot satisfy (e.g. an
+    OpenMP build reused where libgomp is missing).  A dlopen failure must
+    drop the cached file and rebuild, not silently disable the native
+    fast path."""
+    if not native.native_available():
+        pytest.skip("no C++ toolchain for the native tail")
+    import hashlib
+
+    monkeypatch.setenv("ILLICO_TPU_CACHE", str(tmp_path))
+    tag = hashlib.sha256(native._SRC.read_bytes()).hexdigest()[:16]
+    broken = tmp_path / f"illico_tail_{tag}.so"
+    broken.write_bytes(b"\x7fNOT-AN-ELF-OBJECT")
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    lib = native._load()
+    assert lib is not None, "broken cached .so was not rebuilt"
+    assert hasattr(lib, "illico_consume_tile")
+    assert broken.read_bytes()[:4] == b"\x7fELF"  # replaced by a real build
+
+
 @pytest.mark.parametrize("engine", ["hist", "sort"])
 @pytest.mark.parametrize("reference", ["p0", None], ids=["ovo", "ovr"])
 def test_native_consume_threaded_is_bit_exact(reference, engine, monkeypatch):
