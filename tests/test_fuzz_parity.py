@@ -5,6 +5,8 @@ edges (tiny groups, skewed group sizes, integer input dtypes, dense and
 sparse, high counts) with the same exactness contract.
 """
 
+import os
+
 import numpy as np
 import pytest
 from scipy import sparse, stats
@@ -59,3 +61,121 @@ def test_fuzz_scipy_parity(case, mode):
         assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue, (
             seed, mode, gr, j, got["p_value"], r.pvalue,
         )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ILLICO_TPU_SOAK"),
+    reason="opt-in soak: ILLICO_TPU_SOAK=<trials> (optionally "
+    "ILLICO_TPU_SOAK_SEED=<base>) python -m pytest -k fuzz_soak",
+)
+def test_fuzz_soak():
+    """Open-ended randomized soak of the full exactness contract.
+
+    Every trial draws shape, group count, density, count scale, dtype,
+    storage format, test mode, engine, alternative and the
+    continuity/tie toggles at random and checks U (exact), p (scipy or
+    the no-tie oracle, rtol 1e-12) and fold change (rtol 1e-6) on a
+    sample of (group, gene) cells.  Constant columns assert the
+    degenerate-sigma guard (p = 1.0, reference ``math.py:96,117``)
+    instead of comparing against scipy's 0/0.
+
+    Deterministic per seed: a failure message carries the trial seed, and
+    re-running with ILLICO_TPU_SOAK=1 ILLICO_TPU_SOAK_SEED=<seed>
+    reproduces that exact trial.
+    """
+    from test_asymptotic_wilcoxon import _no_tie_pvalues
+
+    trials = int(os.environ["ILLICO_TPU_SOAK"])
+    seed0 = int(os.environ.get("ILLICO_TPU_SOAK_SEED", "0"))
+    for trial in range(trials):
+        seed = seed0 + trial
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(40, 3000))
+        t = int(rng.randint(1, 50))
+        g = int(rng.randint(2, min(10, max(3, n // 8))))
+        density = float(rng.uniform(0.02, 0.95))
+        lam = float(rng.choice([0.3, 1.0, 2.0, 5.0, 40.0, 200.0, 1500.0]))
+        dtype = rng.choice([np.float32, np.float64, np.int32, np.uint8,
+                            np.int16])
+        fmt = str(rng.choice(["dense", "csr", "csc"]))
+        mode = str(rng.choice(["ovo", "ovr"]))
+        alternative = str(rng.choice(["two-sided", "less", "greater"]))
+        use_continuity = bool(rng.randint(2))
+        tie_correct = bool(rng.randint(2))
+        is_log1p = bool(rng.randint(4) == 0)
+        engine = str(
+            rng.choice(["auto", "sort"])
+            if dtype == np.float64 or is_log1p
+            else rng.choice(["auto", "hist", "sort"])
+        )
+        case = (seed, n, t, g, round(density, 3), lam, np.dtype(dtype).name,
+                fmt, mode, engine, alternative, use_continuity, tie_correct,
+                is_log1p)
+
+        x = rng.poisson(lam, (n, t)).astype(np.float64)
+        x[rng.rand(n, t) >= density] = 0
+        if is_log1p:
+            x = np.log1p(x).astype(np.float32)
+        else:
+            x = x.astype(dtype)
+        labels = rng.randint(0, g, n)
+        labels[:g] = np.arange(g)
+        groups = np.array([f"g{v}" for v in labels])
+        X = {"dense": lambda: x,
+             "csr": lambda: sparse.csr_matrix(x),
+             "csc": lambda: sparse.csc_matrix(x)}[fmt]()
+
+        ref = "g0" if mode == "ovo" else None
+        df = asymptotic_wilcoxon_arrays(
+            X, groups, reference=ref, is_log1p=is_log1p, engine=engine,
+            alternative=alternative, use_continuity=use_continuity,
+            tie_correct=tie_correct, progress=False,
+        )
+
+        xd = np.expm1(x.astype(np.float64)) if is_log1p else x.astype(np.float64)
+        check_groups = {f"g{g - 1}", "g1"} - ({"g0"} if mode == "ovo" else set())
+        for gr in sorted(check_groups):
+            tgt = groups == gr
+            refm = groups == "g0" if mode == "ovo" else ~tgt
+            for j in sorted({0, int(rng.randint(t)), t - 1}):
+                a, b = xd[refm, j], xd[tgt, j]
+                got = df.loc[(gr, f"gene_{j}")]
+                mu_ref = a.mean()
+                want_fc = np.inf if mu_ref == 0 else b.mean() / mu_ref
+                if np.isfinite(want_fc):
+                    np.testing.assert_allclose(
+                        got["fold_change"], want_fc, rtol=1e-6, atol=0,
+                        err_msg=f"fc {case} {gr} {j}")
+                else:
+                    assert got["fold_change"] == want_fc, ("fc", case, gr, j)
+                combined = np.concatenate([a, b])
+                if (combined == combined[0]).all():
+                    # Degenerate column: scipy divides by sigma = 0.  With
+                    # tie correction the guard pins p = 1.0 (reference
+                    # math.py:96,117); without it sigma stays positive and
+                    # the no-tie oracle applies at U = n1*n2/2 exactly.
+                    u_deg = a.size * b.size / 2.0
+                    assert got["statistic"] == u_deg, ("U-deg", case, gr, j)
+                    if tie_correct:
+                        assert got["p_value"] == 1.0, ("deg", case, gr, j)
+                    else:
+                        want_p = float(_no_tie_pvalues(
+                            np.asarray([u_deg]), a.size, b.size,
+                            use_continuity, alternative)[0])
+                        assert abs(got["p_value"] - want_p) <= 1e-12 * want_p, (
+                            "deg-p", case, gr, j, got["p_value"], want_p,
+                        )
+                    continue
+                r = stats.mannwhitneyu(
+                    a, b, alternative=alternative, method="asymptotic",
+                    use_continuity=use_continuity,
+                )
+                assert got["statistic"] == r.statistic, ("U", case, gr, j)
+                want_p = (
+                    r.pvalue if tie_correct else float(_no_tie_pvalues(
+                        np.asarray([r.statistic]), a.size, b.size,
+                        use_continuity, alternative)[0])
+                )
+                assert abs(got["p_value"] - want_p) <= 1e-12 * want_p, (
+                    "p", case, gr, j, got["p_value"], want_p,
+                )
