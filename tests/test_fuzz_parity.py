@@ -97,7 +97,8 @@ def test_fuzz_soak():
         lam = float(rng.choice([0.3, 1.0, 2.0, 5.0, 40.0, 200.0, 1500.0]))
         dtype = rng.choice([np.float32, np.float64, np.int32, np.uint8,
                             np.int16])
-        fmt = str(rng.choice(["dense", "csr", "csc"]))
+        fmt = str(rng.choice(["dense", "csr", "csc", "device",
+                              "h5-dense", "h5-csc"]))
         mode = str(rng.choice(["ovo", "ovr"]))
         alternative = str(rng.choice(["two-sided", "less", "greater"]))
         use_continuity = bool(rng.randint(2))
@@ -121,16 +122,42 @@ def test_fuzz_soak():
         labels = rng.randint(0, g, n)
         labels[:g] = np.arange(g)
         groups = np.array([f"g{v}" for v in labels])
-        X = {"dense": lambda: x,
-             "csr": lambda: sparse.csr_matrix(x),
-             "csc": lambda: sparse.csc_matrix(x)}[fmt]()
 
         ref = "g0" if mode == "ovo" else None
-        df = asymptotic_wilcoxon_arrays(
-            X, groups, reference=ref, is_log1p=is_log1p, engine=engine,
+        kw = dict(
+            reference=ref, is_log1p=is_log1p, engine=engine,
             alternative=alternative, use_continuity=use_continuity,
             tie_correct=tie_correct, progress=False,
         )
+        if fmt.startswith("h5-"):
+            # Streaming path: h5ad round trip read back in backed mode.
+            import tempfile
+
+            import pandas as pd
+
+            from illico_tpu import asymptotic_wilcoxon
+            from illico_tpu.io.h5ad import AnnDataLite, read_h5ad
+
+            Xw = x if fmt == "h5-dense" else sparse.csc_matrix(x)
+            ad = AnnDataLite(
+                Xw,
+                obs=pd.DataFrame({"grp": groups}),
+                var=pd.DataFrame(index=[f"gene_{j}" for j in range(t)]),
+            )
+            with tempfile.TemporaryDirectory() as td:
+                ad.write_h5ad(td + "/t.h5ad")
+                backed = read_h5ad(td + "/t.h5ad", backed="r")
+                df = asymptotic_wilcoxon(backed, group_keys="grp", **kw)
+        else:
+            if fmt == "device":
+                import jax.numpy as jnp
+
+                X = jnp.asarray(x)
+            else:
+                X = {"dense": lambda: x,
+                     "csr": lambda: sparse.csr_matrix(x),
+                     "csc": lambda: sparse.csc_matrix(x)}[fmt]()
+            df = asymptotic_wilcoxon_arrays(X, groups, **kw)
 
         xd = np.expm1(x.astype(np.float64)) if is_log1p else x.astype(np.float64)
         check_groups = {f"g{g - 1}", "g1"} - ({"g0"} if mode == "ovo" else set())
