@@ -112,6 +112,12 @@ def test_fuzz_soak():
         case = (seed, n, t, g, round(density, 3), lam, np.dtype(dtype).name,
                 fmt, mode, engine, alternative, use_continuity, tie_correct,
                 is_log1p)
+        if os.environ.get("ILLICO_TPU_SOAK_VERBOSE"):
+            # Unbuffered trial marker (run with -s): a hard crash (e.g. a
+            # compiler segfault) identifies its seed as the last line.
+            import sys
+
+            print(f"# trial {case}", file=sys.__stderr__, flush=True)
 
         x = rng.poisson(lam, (n, t)).astype(np.float64)
         x[rng.rand(n, t) >= density] = 0
