@@ -71,6 +71,21 @@ def _preempt_background_jobs():
     try:
         with open(HOLD_FILE, "w") as f:
             f.write(str(os.getpid()))
+        # Release the hold when this run ends so watchers don't idle a
+        # scarce tunnel-alive window for the 45-min staleness timeout.
+        # atexit does not fire across the os.execv retry (the replacement
+        # process re-raises the hold), and SIGTERM (the driver's `timeout`)
+        # is converted to SystemExit below so atexit runs there too.
+        import atexit
+
+        def _release_hold():
+            try:
+                os.unlink(HOLD_FILE)
+            except OSError:
+                pass
+
+        atexit.register(_release_hold)
+        signal.signal(signal.SIGTERM, lambda s, f: sys.exit(143))
     except OSError:
         pass
     try:

@@ -186,6 +186,7 @@ class WilcoxonRunner:
             )
         self._sampled_vmax: float | None = None
         self._sampled_conforms: bool | None = None
+        self._sampled_attempted: bool = False
         # Engine selection: the histogram engine is the fast path for count
         # data (raw or log1p); float64 inputs take the exact sort engine,
         # as do datasets whose largest group exceeds the histogram's f32
@@ -380,7 +381,14 @@ class WilcoxonRunner:
         :func:`_sampled_device_stats`): non-integer (non-log1p-of-integer)
         data fails it and should route to the sort engine up front instead
         of paying a guaranteed-overflowing histogram pass.
+
+        Memoized (including failure): up to three callers during runner
+        setup (engine selection, the log1p-mismatch warning, value-table
+        sizing) must not each re-pay the sampling I/O when the first
+        attempt already failed against a slow-then-raising handler.
         """
+        if self._sampled_attempted:
+            return self._sampled_vmax, self._sampled_conforms
         def _conforms(vals: np.ndarray) -> bool:
             # The SAME numpy expressions that build the value table
             # (``ops/hist_engine.make_value_table``) — numpy/libm and XLA
@@ -433,7 +441,11 @@ class WilcoxonRunner:
                     conforms = conforms and _conforms(vals)
                     vmax = max(vmax, float(vals.max()))
         except Exception:  # sampling must never break the run
+            self._sampled_attempted = True
+            self._sampled_vmax, self._sampled_conforms = None, True
             return None, True
+        self._sampled_attempted = True
+        self._sampled_vmax, self._sampled_conforms = vmax, conforms
         return vmax, conforms
 
     def _pick_v_buckets(self) -> int:

@@ -45,7 +45,12 @@ def _build(plain: bool = False) -> Path | None:
     try:
         src = _SRC.read_bytes()
         tag = hashlib.sha256(src).hexdigest()[:16]
-        out = _cache_dir() / f"illico_tail_{tag}.so"
+        # Plain (no-OpenMP) rebuilds cache under a DISTINCT name: writing
+        # them to the canonical path would permanently downgrade every
+        # other environment sharing the cache (the key is the source hash
+        # only), silently turning ILLICO_TPU_TAIL_THREADS into a no-op.
+        suffix = "_plain" if plain else ""
+        out = _cache_dir() / f"illico_tail_{tag}{suffix}.so"
         if out.exists():
             return out
         cxx = os.environ.get("CXX", "g++")
@@ -102,8 +107,10 @@ def _load():
         # OpenMP build reused where libgomp is missing).  Drop it and
         # rebuild dependency-free rather than silently losing the native
         # fast path for every future run.
-        logger.debug(
-            "native tail load failed (%s); rebuilding without OpenMP", e
+        logger.warning(
+            "native tail load failed (%s); rebuilding without OpenMP — "
+            "ILLICO_TPU_TAIL_THREADS will have no effect in this "
+            "environment", e
         )
         try:
             Path(path).unlink()

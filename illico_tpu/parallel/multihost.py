@@ -73,7 +73,16 @@ def initialize_distributed(
     """
     import jax
 
-    explicit = coordinator_address is not None or num_processes is not None
+    # ANY explicit argument (including a lone process_id or kwargs like
+    # local_device_ids) signals cluster intent: swallowing jax's ValueError
+    # for an incomplete config would silently degrade every host to
+    # duplicated full-axis compute instead of surfacing the error.
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or bool(kwargs)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

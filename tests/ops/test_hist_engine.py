@@ -568,6 +568,34 @@ def test_non_integer_data_takes_sort_engine_up_front():
     assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue
 
 
+def test_failed_sampling_probe_is_memoized():
+    """Three runner-setup stages (engine selection, the log1p warning,
+    value-table sizing) consult the value-stats sample; a FAILING probe
+    (slow-then-raising storage) must be attempted once, not re-paid by
+    each stage — and must leave the runner on its default configuration."""
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.ops.hist_engine import DEFAULT_V
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    rng = np.random.RandomState(0)
+    X = rng.poisson(2.0, (60, 8)).astype(np.float32)
+    labels = np.array([0] * 30 + [1] * 15 + [2] * 15)
+    _, info = encode_and_count_groups(labels, 0)
+    handler = data_handler_registry.get(X)
+    calls = []
+
+    def flaky_fetch(lb, ub):
+        calls.append((lb, ub))
+        raise OSError("flaky storage")
+
+    handler.fetch_tile = flaky_fetch
+    runner = WilcoxonRunner(handler, info, is_log1p=False, engine="auto")
+    assert runner.engine == "hist"  # failed probe -> (None, True) defaults
+    assert runner._v_buckets == DEFAULT_V
+    assert len(calls) == 1, f"sampling I/O paid {len(calls)} times"
+
+
 def test_device_resident_short_tail_tile():
     """A device-resident matrix whose gene count is below the tile width
     takes the jitted tail fetch (no full-matrix pad copy); results match

@@ -83,7 +83,9 @@ def test_broken_cached_so_is_rebuilt(tmp_path, monkeypatch):
     carry a runtime dependency this environment cannot satisfy (e.g. an
     OpenMP build reused where libgomp is missing).  A dlopen failure must
     drop the cached file and rebuild, not silently disable the native
-    fast path."""
+    fast path.  The rebuild caches under a DISTINCT ``_plain`` name: writing
+    it to the canonical path would permanently downgrade every other
+    environment sharing the cache to the no-OpenMP build."""
     if not native.native_available():
         pytest.skip("no C++ toolchain for the native tail")
     import hashlib
@@ -97,7 +99,11 @@ def test_broken_cached_so_is_rebuilt(tmp_path, monkeypatch):
     lib = native._load()
     assert lib is not None, "broken cached .so was not rebuilt"
     assert hasattr(lib, "illico_consume_tile")
-    assert broken.read_bytes()[:4] == b"\x7fELF"  # replaced by a real build
+    # canonical path dropped (a healthy process will rebuild it with
+    # OpenMP); the fallback lives under its own name
+    assert not broken.exists()
+    plain = tmp_path / f"illico_tail_{tag}_plain.so"
+    assert plain.read_bytes()[:4] == b"\x7fELF"
 
 
 @pytest.mark.parametrize("engine", ["hist", "sort"])
