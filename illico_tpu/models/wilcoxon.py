@@ -184,6 +184,20 @@ class WilcoxonRunner:
                 f"Invalid engine value: {engine!r}. Must be 'auto', 'sort' "
                 "or 'hist'."
             )
+        if engine == "hist" and self.value_dtype == np.float64:
+            # The histogram pass tabulates float32 values; a float64 input
+            # would be cast, and a value that is not float32-representable
+            # could alias into a table bucket and silently corrupt ranks
+            # (the per-column overflow check compares post-cast values, so
+            # it cannot see the aliasing).  auto routes float64 to the sort
+            # engine; a forced 'hist' must fail loudly, like the engine's
+            # other exactness guards.
+            raise ValueError(
+                "engine='hist' does not support float64 input: the "
+                "histogram value table is float32 and the cast could "
+                "silently merge distinct values. Use engine='sort' (the "
+                "default for float64) or provide float32/integer counts."
+            )
         self._sampled_vmax: float | None = None
         self._sampled_conforms: bool | None = None
         self._sampled_attempted: bool = False
@@ -536,15 +550,23 @@ class WilcoxonRunner:
                 self.device,
             )
         else:
-            # Mesh path: warm the jit caches with one zeros tile.
-            import jax.numpy as jnp
+            # Mesh path: warm the jit caches with one zeros tile.  x64 on
+            # while staging float64 (device_put canonicalizes to float32 in
+            # a default process, see run()).
+            import contextlib
 
-            x = jax.device_put(
-                np.zeros((self.layout.n_cells, self.tile_width),
-                         self.value_dtype),
-                self._col_sharding,
+            ctx = (
+                jax.enable_x64(True)
+                if self.value_dtype == np.float64
+                else contextlib.nullcontext()
             )
-            jax.device_get(self.tile_fn(x))
+            with ctx:
+                x = jax.device_put(
+                    np.zeros((self.layout.n_cells, self.tile_width),
+                             self.value_dtype),
+                    self._col_sharding,
+                )
+                jax.device_get(self.tile_fn(x))
         self._compiled = True
         logger.trace(
             "Compiled %s tile kernel (%d, %d) in %.2fs.",
@@ -628,6 +650,17 @@ class WilcoxonRunner:
             import contextlib
 
             with jax.profiler.trace(profile_dir):
+                return self.run(progress)
+        if self.value_dtype == np.float64:
+            # In a default (x64-off) process, `jax.device_put` of a float64
+            # numpy tile canonicalizes it to float32 — silently breaking the
+            # float64 tie/compare contract and mismatching the engine's
+            # f64-compiled executables.  The engines manage their own trace
+            # contexts; the STAGING side (device_put, the jitted
+            # device-resident fetch's first trace) must also see x64.
+            # Unobservable in the test suite, which enables x64 globally —
+            # caught by driving the public API in a plain process.
+            with jax.enable_x64(True):
                 return self._run(progress)
         return self._run(progress)
 

@@ -224,6 +224,110 @@ def test_arrays_api():
     assert (res.loc["a"].statistic == -1.0).all()
 
 
+@pytest.mark.parametrize("engine", ["hist", "sort"])
+def test_degenerate_shapes_match_scipy(engine):
+    """Singleton groups, a single-gene matrix, and two-group OVR are legal
+    inputs (the reference imposes no minimum sizes) and must keep the
+    exactness contract on both engines."""
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    rng = np.random.RandomState(11)
+    # one singleton group, one control-sized group, ONE gene
+    # (float32 counts are exact; the oracle evaluates in float64)
+    X = rng.poisson(2.0, (30, 1)).astype(np.float32)
+    Xd = X.astype(np.float64)
+    labels = np.array(["ctl"] * 20 + ["big"] * 9 + ["solo"])
+    for ref in ("ctl", None):
+        df = asymptotic_wilcoxon_arrays(
+            X, labels, reference=ref, progress=False, engine=engine
+        )
+        targets = ("big", "solo") + (("ctl",) if ref is None else ())
+        for g in targets:
+            rmask = (labels == "ctl") if ref else (labels != g)
+            r = mannwhitneyu(
+                Xd[rmask, 0], Xd[labels == g, 0],
+                alternative="two-sided", method="asymptotic",
+            )
+            got = df.loc[(g, "gene_0")]
+            assert got["statistic"] == r.statistic, (ref, g)
+            assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue, (ref, g)
+
+    # exactly two groups, OVR: each group's "rest" IS the other group
+    labels2 = np.array(["a"] * 12 + ["b"] * 18)
+    X2 = rng.poisson(1.0, (30, 5)).astype(np.float32)
+    X2d = X2.astype(np.float64)
+    df2 = asymptotic_wilcoxon_arrays(
+        X2, labels2, reference=None, progress=False, engine=engine
+    )
+    for g, o in (("a", "b"), ("b", "a")):
+        r = mannwhitneyu(
+            X2d[labels2 == o, 3], X2d[labels2 == g, 3],
+            alternative="two-sided", method="asymptotic",
+        )
+        got = df2.loc[(g, "gene_3")]
+        assert got["statistic"] == r.statistic, g
+        assert abs(got["p_value"] - r.pvalue) <= 1e-12 * r.pvalue, g
+
+
+def test_float64_input_in_plain_x64_off_process():
+    """The suite enables x64 globally (conftest), which masks a staging
+    bug: in a DEFAULT process `jax.device_put` canonicalizes float64
+    tiles to float32, silently corrupting float64 tie comparison and
+    mismatching the sort engine's f64-compiled executables.  The runner
+    must stage float64 under its own x64 scope.  Drive the public API in
+    a plain subprocess with a value that is not float32-representable:
+    canonicalization would merge the tie and change U."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from scipy.stats import mannwhitneyu\n"
+        "from illico_tpu import asymptotic_wilcoxon_arrays\n"
+        "rng = np.random.RandomState(42)\n"
+        "X = rng.poisson(2.0, (50, 3)).astype(np.float64)\n"
+        "X[0, 0] = 2.0 + 1e-12  # f64-distinct, f32-aliased vs X[1, 0]\n"
+        "X[1, 0] = 2.0\n"
+        "labels = np.array(['ctl'] * 25 + ['t'] * 25)\n"
+        "for ref in ('ctl', None):\n"
+        "    df = asymptotic_wilcoxon_arrays(X, labels, reference=ref,\n"
+        "                                    progress=False)\n"
+        "    m = (labels == 'ctl') if ref else (labels != 't')\n"
+        "    r = mannwhitneyu(X[m, 0], X[labels == 't', 0],\n"
+        "                     alternative='two-sided', method='asymptotic')\n"
+        "    got = df.loc[('t', 'gene_0')]\n"
+        "    assert got['statistic'] == r.statistic, (ref, 'U')\n"
+        "    assert abs(got['p_value'] - r.pvalue) <= 1e-12 * r.pvalue\n"
+        "print('OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
+
+
+def test_forced_hist_engine_rejects_float64():
+    """The histogram value table is float32: a float64 value that is not
+    float32-representable could alias into a bucket and silently corrupt
+    ranks (the per-column overflow check sees only post-cast values).
+    auto routes float64 to the sort engine; a FORCED 'hist' must fail
+    loudly, like the engine's other exactness guards."""
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    rng = np.random.RandomState(0)
+    X = rng.poisson(2.0, (40, 3)).astype(np.float64)
+    labels = np.array(["ctl"] * 20 + ["t"] * 20)
+    with pytest.raises(ValueError, match="float64"):
+        asymptotic_wilcoxon_arrays(
+            X, labels, reference="ctl", progress=False, engine="hist"
+        )
+
+
 def test_layer_selection():
     """`layer=` selects adata.layers[...] over adata.X (reference
     ``asymptotic_wilcoxon.py:178-182``), round-tripping through h5ad."""
