@@ -79,6 +79,116 @@ def test_ovr_headline_statics_snapshot(k562_layout):
     assert _bulk_wire_bytes(s) == 6  # 4 + 2
 
 
+@pytest.mark.parametrize("mode", ["ovo", "ovr"])
+@pytest.mark.parametrize(
+    "sizes",
+    [(400, 150, 30, 20),   # no row splits engaged
+     (600, 22, 18, 15)],   # control dominates: fc (and OVR R2) splits engage
+)
+def test_wire_bounds_are_attained_suprema(mode, sizes):
+    """The narrow wire tiers are proven by STATIC bounds; if any bound
+    under-estimated the achievable maximum, the encoding would silently
+    wrap.  Drive data constructed to ATTAIN each bound (everyone tied in
+    one value bucket; targets at the table max; reference at the max) and
+    assert (a) the packed path is bit-identical to the plain (mesh)
+    contract on the real columns, and (b) the maxima actually equal the
+    bounds — so the tiers are tested at their exact suprema, not at
+    comfortable interior points.  Pad columns (device-side 128-alignment)
+    legitimately hold out-of-bound garbage both paths discard."""
+    import jax
+    import jax.numpy as jnp
+
+    from illico_tpu.ops.rank_engine import build_padded_layout
+    from illico_tpu.utils.groups import encode_and_count_groups
+
+    rng = np.random.RandomState(0)
+    labels = np.repeat(np.arange(len(sizes)), sizes)
+    _, info = encode_and_count_groups(labels, 0 if mode == "ovo" else None)
+    ref_code = info.ref_code
+    layout = build_padded_layout(info.perm, info.indptr)
+    n = labels.size
+    V = he.DEFAULT_V
+    ref_mask = labels == 0
+    cols = [
+        np.ones(n),                    # everyone ties at value 1
+        np.where(ref_mask, 0, V - 1),  # targets dominate at the table max
+        np.where(ref_mask, V - 1, 0),  # reference dominates at the max
+        np.full(n, V - 1),             # everyone ties at the top bucket
+        np.zeros(n),
+        rng.randint(0, V, n).astype(float),
+        rng.randint(0, 2, n) * float(V - 1),
+        rng.randint(0, 3, n).astype(float),
+    ]
+    x = np.stack(cols, axis=1).astype(np.float32)
+    w = x.shape[1]
+
+    fn = he.make_hist_tile_fn(
+        layout, ref_code=ref_code, is_log1p=False, interpret=True
+    )
+    st = fn._statics
+    packed = fn.unpack(np.asarray(jax.device_get(fn(jnp.asarray(x)))))
+
+    # Plain-array (mesh) contract over the same histogram: float64 truth.
+    perm, pad_mask, table, blk_group, blk_flush, ppg = he.prepare_hist_inputs(
+        layout, V, False
+    )
+    with jax.enable_x64(False):
+        hist = he.hist_pass(
+            jnp.asarray(x), perm, pad_mask, table, blk_group, blk_flush,
+            n_groups=layout.n_groups, interpret=True,
+        )
+    plain_statics = dict(
+        n_pad=float(layout.n_pad), is_log1p=False, pack=False,
+        **he.hist_contract_statics(layout, ref_code, V, wire=False),
+    )
+    with jax.enable_x64(True):
+        plain = he.hist_contract(hist, ppg, **plain_statics)
+    plain = {
+        k: np.asarray(jax.device_get(v)).astype(np.float64)[..., :w]
+        for k, v in plain.items()
+    }
+
+    # Reassemble split rows, then compare real columns exactly.
+    ukey = "U2" if mode == "ovo" else "R2"
+    got_u = np.asarray(packed[ukey]).astype(np.float64)[:, :w]
+    if st["u2_split_code"] >= 0:
+        got_u[st["u2_split_code"]] = np.asarray(
+            packed["r2_split_col"], np.float64
+        )[:w]
+    got_fc = np.asarray(packed["fc_sums"]).astype(np.float64)[:, :w]
+    if st["fc_split_code"] >= 0:
+        got_fc[st["fc_split_code"]] = np.asarray(
+            packed["fc_split_col"], np.float64
+        )[:w]
+    np.testing.assert_array_equal(got_u, plain[ukey])
+    np.testing.assert_array_equal(got_fc, plain["fc_sums"])
+    np.testing.assert_array_equal(
+        np.asarray(packed["overflow_cols"])[:w], plain["overflow_cols"]
+    )
+    if mode == "ovo":
+        got_tie = np.asarray(packed["tie_seg"]).astype(np.float64)[:, :w]
+        np.testing.assert_array_equal(got_tie, plain["tie_seg"])
+        np.testing.assert_array_equal(
+            np.asarray(packed["tie_ref_col"])[:w], plain["tie_ref_col"]
+        )
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(packed["tie_col"])[:w], plain["tie_col"]
+        )
+
+    # Attainment: the adversarial columns reach the static bounds exactly.
+    u2_bound, fc_bound = he.hist_stat_bounds(layout, ref_code, V)
+    assert got_fc.max() == fc_bound  # reference row, all at the table max
+    if mode == "ovo":
+        R = float(sizes[0])
+        M = float(max(sizes[1:]))
+        assert got_u.max() == u2_bound == 2.0 * R * M
+        tie_bound = (M**3 - M) + 3.0 * R * M * (R + M)
+        assert got_tie.max() == tie_bound
+    else:
+        assert got_u.max() <= u2_bound  # 2*n_g*n_total is a strict supremum
+
+
 def test_mesh_path_disables_wire_splits(k562_layout):
     layout, info = k562_layout
     s = he.hist_contract_statics(layout, -1, he.DEFAULT_V, wire=False)
