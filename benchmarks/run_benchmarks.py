@@ -40,9 +40,17 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (smoke testing; the sitecustomize "
+        "in this environment force-registers the TPU platform)",
+    )
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from illico_tpu import asymptotic_wilcoxon_arrays, enable_compilation_cache
     import illico_tpu
