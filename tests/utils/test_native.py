@@ -124,3 +124,141 @@ def test_native_consume_threaded_is_bit_exact(reference, engine, monkeypatch):
         np.testing.assert_array_equal(
             df_serial[col].to_numpy(), df_threaded[col].to_numpy()
         )
+
+
+def _spec_dict(spec):
+    return {k: (shape, dtype, off, nbytes) for k, shape, dtype, off, nbytes in spec}
+
+
+def test_native_decode_at_split_word_boundaries_ovo():
+    """The C++ consumer decodes the split-word wire tiers (uint24, u40,
+    hi/lo float64) straight from the packed buffer; the numpy decoder
+    (``unpack_host_buffer``) is boundary-tested separately, but the native
+    ``decode()`` was only exercised on hardware with realistic values.
+    Feed a crafted buffer whose statistics sit exactly at the split
+    boundaries (low word 2^32-1 — the mis-rounding trap of
+    ``_split_hi_lo_words`` — and each tier's maximum) and assert the
+    native consume reproduces ground truth computed from the original
+    float64 values."""
+    if not native.native_available():
+        pytest.skip("no C++ toolchain for the native tail")
+    import jax.numpy as jnp
+
+    from illico_tpu.native import consume_tile_native
+    from illico_tpu.ops import hist_engine as he
+    from illico_tpu.stats import fold_change_from_summed_expr, pvalues_from_stats
+
+    G, T = 3, 4
+    counts = np.array([1000.0, 700.0, 500.0])
+    ref_code = 0
+    u2 = np.array([
+        [0, 2, 4, 6],
+        [2**24 - 1, 2**24 - 2, 2**16, 2],
+        [1, 3, 2**24 - 1, 0],
+    ], np.float64)
+    tie_seg = np.array([
+        [0, 2**40 - 1, 2**32 - 1, 2**32],
+        [2**32 - 1, 0, 12345, 2**40 - 1],
+        [2**33, 2**40 - 2, 1, 2**32 + 1],
+    ], np.float64)
+    tie_ref_col = np.array([2.0**52 - 1, 2.0**32 - 1, 0.0, 7.0])
+    fc_sums = np.array([
+        [65535, 0, 1, 2],
+        [3, 65535, 4, 5],
+        [6, 7, 65534, 8],
+    ], np.float64)
+    out = {
+        "U2": jnp.asarray(u2, jnp.uint32),
+        "tie_seg": jnp.asarray(tie_seg, jnp.float64),
+        "tie_ref_col": jnp.asarray(tie_ref_col, jnp.float64),
+        "fc_sums": jnp.asarray(fc_sums, jnp.uint16),
+        "overflow_cols": jnp.zeros(T, jnp.bool_),
+    }
+    buf, spec = he.pack_device_outputs(out, {"U2": 3, "tie_seg": 5})
+    buf = np.ascontiguousarray(np.asarray(buf))
+
+    results = np.full((G, T, 3), np.nan)
+    ok = consume_tile_native(
+        buf, _spec_dict(spec), counts, ref_code, T,
+        "two-sided", True, True, results, 0,
+    )
+    assert ok, "native consume unavailable for the crafted spec"
+
+    n_ref = counts[ref_code]
+    n_tgt = counts[:, None]
+    U = n_ref * n_tgt - u2 / 2.0
+    tie = tie_ref_col[None] + tie_seg
+    p = pvalues_from_stats(
+        U, tie, np.full((G, 1), n_ref), n_tgt,
+        use_continuity=True, tie_correct=True, alternative="two-sided",
+    )
+    fc = fold_change_from_summed_expr(fc_sums, counts, ref_code)
+    np.testing.assert_array_equal(results[..., 1], U)
+    np.testing.assert_array_equal(results[..., 2], fc)
+    np.testing.assert_allclose(results[..., 0], p, rtol=1e-12, atol=0.0)
+
+
+def test_native_decode_at_split_word_boundaries_ovr():
+    """OVR variant: int32 R2 bulk + hi/lo float64 split row
+    (``r2_split_col``) + uint32 ``fc_split_col`` + hi/lo ``tie_col``,
+    all at their boundary values."""
+    if not native.native_available():
+        pytest.skip("no C++ toolchain for the native tail")
+    import jax.numpy as jnp
+
+    from illico_tpu.native import consume_tile_native
+    from illico_tpu.ops import hist_engine as he
+    from illico_tpu.stats import fold_change_from_summed_expr, pvalues_from_stats
+
+    G, T = 3, 4
+    counts = np.array([200.0, 5000.0, 300.0])
+    u2_split, fc_split = 1, 1  # the dominant group's rows travel separately
+    r2 = np.array([
+        [2**31 - 1, 2**31 - 2, 0, 2],
+        [0, 0, 0, 0],  # split row zeroed on device
+        [4, 2**30, 6, 2**31 - 1],
+    ], np.float64)
+    r2_split_col = np.array([2.0**52 - 1, 2.0**32 - 1, 2.0**32, 123456789.0])
+    fc_sums = np.array([
+        [65535, 1, 2, 3],
+        [0, 0, 0, 0],  # split row zeroed on device
+        [4, 5, 65534, 6],
+    ], np.float64)
+    fc_split_col = np.array([2**32 - 1, 2**24, 0, 7], np.float64)
+    tie_col = np.array([2.0**52 - 1, 2.0**32 - 1, 0.0, 2.0**33])
+    out = {
+        "R2": jnp.asarray(r2, jnp.int32),
+        "r2_split_col": jnp.asarray(r2_split_col, jnp.float64),
+        "fc_sums": jnp.asarray(fc_sums, jnp.uint16),
+        "fc_split_col": jnp.asarray(fc_split_col, jnp.uint32),
+        "tie_col": jnp.asarray(tie_col, jnp.float64),
+        "overflow_cols": jnp.zeros(T, jnp.bool_),
+    }
+    buf, spec = he.pack_device_outputs(out)
+    buf = np.ascontiguousarray(np.asarray(buf))
+
+    results = np.full((G, T, 3), np.nan)
+    ok = consume_tile_native(
+        buf, _spec_dict(spec), counts, -1, T,
+        "two-sided", True, True, results, 0,
+        fc_split_code=fc_split, u2_split_code=u2_split,
+    )
+    assert ok, "native consume unavailable for the crafted spec"
+
+    r2_full = r2.copy()
+    r2_full[u2_split] = r2_split_col
+    fc_full = fc_sums.copy()
+    fc_full[fc_split] = fc_split_col
+    n_total = counts.sum()
+    n_tgt = counts[:, None]
+    n_ref = n_total - n_tgt
+    U = n_ref * n_tgt + n_tgt * (n_tgt + 1.0) / 2.0 - r2_full / 2.0
+    tie = np.broadcast_to(tie_col[None], (G, T))
+    p = pvalues_from_stats(
+        U, tie, n_ref, n_tgt,
+        use_continuity=True, tie_correct=True, alternative="two-sided",
+    )
+    fc = fold_change_from_summed_expr(fc_full, counts, -1)
+    np.testing.assert_array_equal(results[..., 1], U)
+    np.testing.assert_array_equal(results[..., 2], fc)
+    np.testing.assert_allclose(results[..., 0], p, rtol=1e-12, atol=0.0)
