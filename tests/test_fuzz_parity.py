@@ -212,3 +212,21 @@ def test_fuzz_soak():
                 assert abs(got["p_value"] - want_p) <= 1e-12 * want_p, (
                     "p", case, gr, j, got["p_value"], want_p,
                 )
+
+        if (trial + 1) % 100 == 0:
+            # Every trial draws a fresh shape, so compiled executables
+            # accumulate in-process without bound (production bounds shape
+            # count via pow2 tile bucketing; this soak is the pathological
+            # many-shapes client).  Observed: the XLA CPU backend segfaults
+            # inside backend_compile_and_load after ~630 accumulated
+            # compilations in one process (jax 0.9.0, reproducible at the
+            # same trial across runs, innocent in a fresh process).  Clear
+            # the jit caches AND the engines' process-wide AOT caches
+            # periodically to bound compiler state.
+            import jax
+
+            from illico_tpu.ops import hist_engine, rank_engine
+
+            hist_engine._AOT_CACHE.clear()
+            rank_engine._AOT_CACHE.clear()
+            jax.clear_caches()
