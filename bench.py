@@ -222,18 +222,27 @@ def main():
         (20_000, 512, 50) if quick else (N_CELLS, N_GENES, N_GROUPS)
     )
 
-    # Watchdog over the whole pre-first-emission phase: if jax init, data
+    # Watchdog over the pre-first-emission phases: if jax init, data
     # generation, or the prewarm compile hangs (degraded tunnel / broken
     # compile terminal), abort into the fresh-process retry instead of
     # silently eating the harness budget.  SIGALRM is best-effort (a stuck
     # C call defers delivery) but covers the common retry-able failures.
+    #
+    # The budget ESCALATES with the retry attempt and is re-armed per
+    # phase: a cold compile cache makes an honest setup take 400-800 s
+    # (measured round 1/2), and each attempt persists whatever compiled
+    # to the on-disk XLA cache, so later attempts must be given room to
+    # finish the remaining cold pieces rather than being killed on the
+    # same flat timer that already proved too short.
     def _on_alarm(signum, frame):
         raise SetupHang("setup watchdog expired")
 
     _preempt_background_jobs()
     _preflight_device_probe()
+    attempt = int(os.environ.get("ILLICO_BENCH_ATTEMPT", "0"))
+    phase_budget = (240 if quick else 420) + 300 * attempt
     signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(420 if not quick else 240)
+    signal.alarm(phase_budget)
 
     from illico_tpu import asymptotic_wilcoxon_arrays, enable_compilation_cache
 
@@ -241,6 +250,9 @@ def main():
     t0 = time.perf_counter()
     X, groups = make_device_data(n_cells, n_genes, n_groups)
     gen_s = time.perf_counter() - t0
+    print(f"# setup phase 1: data gen {gen_s:.1f}s (attempt {attempt}, "
+          f"phase budget {phase_budget}s)", file=sys.stderr, flush=True)
+    signal.alarm(phase_budget)  # re-arm: prewarm gets its own full budget
     t0 = time.perf_counter()
     _prewarm(X, groups)
     warm_s = time.perf_counter() - t0
