@@ -361,22 +361,31 @@ class WilcoxonRunner:
         Wider tiles amortize the fixed per-transfer cost of the result link
         and the per-dispatch overhead; the ceiling is the histogram
         workspace's HBM budget (G x V x T x 4B) and, for host-side inputs,
-        the densified host tile (n_cells x T x 4B) held by the prefetch
-        pipeline.
+        the densified host tiles (n_cells x T x itemsize) held by the
+        prefetch pipeline — budgeted against the machine's available RAM
+        (``utils/memory.host_tile_budget``), the analog of the reference's
+        published host high-watermark (``README.md:188-225``).
         """
+        wide_cap = 2048 if self.engine == "hist" else 512
+        if not self._device_resident:
+            from illico_tpu.utils.memory import host_tile_budget
+
+            # In-flight host tiles: the prefetch futures plus the tile
+            # being dispatched (dispatched tiles are released after
+            # device_put; `pending` holds device outputs only).
+            in_flight = max(2, self.n_threads) + 1
+            itemsize = int(np.dtype(self.value_dtype).itemsize)
+            per_col = in_flight * self.handler.shape[0] * itemsize
+            wide_cap = min(wide_cap, int(host_tile_budget() / max(per_col, 1)))
         if self.engine != "hist":
-            return 512
+            return max(128, (wide_cap // 128) * 128)
         G = max(1, self.info.n_groups)
         # Histogram workspace ~12 B/element: the f32 histogram plus one
         # float64 temporary of the same (G, V, T) extent in the contraction
         # (T=4096 at G=2000, V=128 exhausts a 16 GB chip; 2048 is validated).
         hbm_budget = 8e9
         t_hbm = int(hbm_budget / (G * max(self._v_buckets, 1) * 12.0))
-        if self._device_resident:
-            cap = 2048
-        else:
-            host_budget = 1e9
-            cap = min(2048, int(host_budget / (self.handler.shape[0] * 4.0)))
+        cap = wide_cap
         # The memory budgets are ceilings: never let the wide-tile
         # preference override them (a 512 floor here once doubled the HBM
         # workspace past the budget at G=5000).
@@ -543,30 +552,15 @@ class WilcoxonRunner:
         from illico_tpu.native import native_available
 
         native_available()
-        if hasattr(self.tile_fn, "precompile"):
-            self.tile_fn.precompile(
-                (self.layout.n_cells, self.tile_width),
-                self.value_dtype,
-                self.device,
-            )
-        else:
-            # Mesh path: warm the jit caches with one zeros tile.  x64 on
-            # while staging float64 (device_put canonicalizes to float32 in
-            # a default process, see run()).
-            import contextlib
-
-            ctx = (
-                jax.enable_x64(True)
-                if self.value_dtype == np.float64
-                else contextlib.nullcontext()
-            )
-            with ctx:
-                x = jax.device_put(
-                    np.zeros((self.layout.n_cells, self.tile_width),
-                             self.value_dtype),
-                    self._col_sharding,
-                )
-                jax.device_get(self.tile_fn(x))
+        # Every engine — single-chip sort/hist AND the mesh path — exposes
+        # an AOT precompile: lower().compile() against abstract
+        # (shape, dtype, sharding) signatures, cached process-wide, with
+        # zero real dispatch.
+        self.tile_fn.precompile(
+            (self.layout.n_cells, self.tile_width),
+            self.value_dtype,
+            self.device,
+        )
         self._compiled = True
         logger.trace(
             "Compiled %s tile kernel (%d, %d) in %.2fs.",

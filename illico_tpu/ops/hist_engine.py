@@ -898,11 +898,15 @@ def make_hist_tile_fn(
         _spec_for(shape[1])
         state["pass"], state["contract"] = cached
 
+    counters = {"aot": 0, "jit": 0}  # per-tile dispatch-path accounting
+
     def run(x_raw):
         _spec_for(x_raw.shape[1])
         if state["pass"] is not None:
+            counters["aot"] += 1
             hist = state["pass"](x_raw, *pass_args)
             return state["contract"](hist, ppg)
+        counters["jit"] += 1
         with jax.enable_x64(False):
             hist = _jitted_hist_pass(x_raw, *pass_args, **pass_statics)
         with jax.enable_x64(True):
@@ -910,6 +914,7 @@ def make_hist_tile_fn(
                 hist, ppg, pack=True, **contract_statics
             )
 
+    run._counters = counters
     run._layout_args = pass_args
     run._statics = {**pass_statics, **contract_statics}
     run.precompile = precompile

@@ -349,12 +349,17 @@ def make_tile_fn(
             _AOT_CACHE[key] = exe
         state["compiled"] = exe
 
+    counters = {"aot": 0, "jit": 0}  # per-tile dispatch-path accounting
+
     def run(x_raw):
         if state["compiled"] is not None:
+            counters["aot"] += 1
             return state["compiled"](x_raw, *layout_args)
+        counters["jit"] += 1
         with jax.enable_x64(True):
             return _jitted_rank_stats(x_raw, *layout_args, **statics)
 
+    run._counters = counters
     run._jitted = _jitted_rank_stats
     run._layout_args = layout_args
     run._statics = statics

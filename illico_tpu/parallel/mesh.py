@@ -30,6 +30,21 @@ from illico_tpu.ops.rank_engine import PaddedLayout, rank_stats_tile
 
 __all__ = ["make_gene_mesh", "make_sharded_tile_fn", "make_sharded_hist_fn"]
 
+# Process-wide AOT executable cache for the mesh path, keyed by (mesh
+# devices, shapes/dtypes, statics) — the sharded analog of the single-chip
+# engines' signature-keyed caches (ops/rank_engine.py / ops/hist_engine.py):
+# executables are shared across runners, and precompile never dispatches
+# real work.
+_AOT_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh) -> tuple:
+    return (
+        tuple(str(d) for d in mesh.devices.flat),
+        mesh.devices.shape,
+        mesh.axis_names,
+    )
+
 
 def make_gene_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D mesh over the gene axis."""
@@ -81,20 +96,50 @@ def make_sharded_tile_fn(
         out_shardings=out_shardings,
     )
 
-    perm = jnp.asarray(layout.perm)
-    grp = jnp.asarray(layout.grp)
-    pad_mask = jnp.asarray(layout.pad_mask)
-    bs = jnp.asarray(layout.block_starts)
-    be = jnp.asarray(layout.block_ends)
+    # Layout arrays committed to the replicated mesh sharding up front: the
+    # jit path then never re-stages them per tile, and the AOT executables
+    # (whose input shardings are fixed at compile time) accept them as-is.
+    perm, grp, pad_mask, bs, be = (
+        jax.device_put(a, rep)
+        for a in (layout.perm, layout.grp, layout.pad_mask,
+                  layout.block_starts, layout.block_ends)
+    )
+    layout_args = (perm, grp, pad_mask, bs, be)
+    state = {"compiled": None}
+    counters = {"aot": 0, "jit": 0}
+
+    def precompile(shape, dtype, device=None) -> None:
+        key = (
+            "sort", _mesh_key(mesh), (tuple(shape), str(dtype)),
+            tuple((tuple(a.shape), str(a.dtype)) for a in layout_args),
+            tuple(sorted(statics.items())),
+        )
+        exe = _AOT_CACHE.get(key)
+        if exe is None:
+            with jax.enable_x64(True):
+                lowered = jitted.lower(
+                    jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=col),
+                    *(jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep)
+                      for a in layout_args),
+                )
+                exe = lowered.compile()
+            _AOT_CACHE[key] = exe
+        state["compiled"] = exe
 
     def run(x_raw):
+        if state["compiled"] is not None:
+            counters["aot"] += 1
+            return state["compiled"](x_raw, *layout_args)
+        counters["jit"] += 1
         # The rank engine's exact accumulations are float64; enabled locally.
         with jax.enable_x64(True):
-            return jitted(x_raw, perm, grp, pad_mask, bs, be)
+            return jitted(x_raw, *layout_args)
 
     run._jitted = jitted
-    run._layout_args = (perm, grp, pad_mask, bs, be)
+    run._layout_args = layout_args
     run._mesh = mesh
+    run._counters = counters
+    run.precompile = precompile
     return run
 
 
@@ -190,13 +235,61 @@ def make_sharded_hist_fn(
         functools.partial(hist_contract, **contract_statics)
     )
 
-    def run(x_sharded):
-        with jax.enable_x64(False):
-            hist = jit_pass(
-                x_sharded, perm, pad_mask, table, blk_group, blk_flush
+    # Commit the layout arrays to the replicated mesh sharding up front
+    # (same rationale as make_sharded_tile_fn).
+    col_s = NamedSharding(mesh, col)
+    rep_s = NamedSharding(mesh, rep)
+    hist_s = NamedSharding(mesh, PartitionSpec(None, None, "genes"))
+    perm, pad_mask, table, blk_group, blk_flush, ppg = (
+        jax.device_put(a, rep_s)
+        for a in (perm, pad_mask, table, blk_group, blk_flush, ppg)
+    )
+    pass_args = (perm, pad_mask, table, blk_group, blk_flush)
+    state = {"pass": None, "contract": None}
+    counters = {"aot": 0, "jit": 0}
+
+    def precompile(shape, dtype, device=None) -> None:
+        key = (
+            "hist", _mesh_key(mesh), (tuple(shape), str(dtype)),
+            tuple((tuple(a.shape), str(a.dtype)) for a in pass_args),
+            (layout.n_groups, bool(interpret)),
+            tuple(sorted(contract_statics.items())),
+        )
+        cached = _AOT_CACHE.get(key)
+        if cached is None:
+            with jax.enable_x64(False):
+                p_low = jit_pass.lower(
+                    jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=col_s),
+                    *(jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep_s)
+                      for a in pass_args),
+                )
+                p_exe = p_low.compile()
+            hist_spec = jax.ShapeDtypeStruct(
+                (layout.n_groups, v_buckets, int(shape[1])), jnp.float32,
+                sharding=hist_s,
             )
+            with jax.enable_x64(True):
+                c_low = jit_contract.lower(
+                    hist_spec,
+                    jax.ShapeDtypeStruct(ppg.shape, ppg.dtype, sharding=rep_s),
+                )
+                c_exe = c_low.compile()
+            cached = (p_exe, c_exe)
+            _AOT_CACHE[key] = cached
+        state["pass"], state["contract"] = cached
+
+    def run(x_sharded):
+        if state["pass"] is not None:
+            counters["aot"] += 1
+            hist = state["pass"](x_sharded, *pass_args)
+            return state["contract"](hist, ppg)
+        counters["jit"] += 1
+        with jax.enable_x64(False):
+            hist = jit_pass(x_sharded, *pass_args)
         with jax.enable_x64(True):
             return jit_contract(hist, ppg)
 
     run._mesh = mesh
+    run._counters = counters
+    run.precompile = precompile
     return run

@@ -7,9 +7,48 @@ tile buffers; peak device memory = padded tile + sort scratch.
 
 from __future__ import annotations
 
+import os
+
 from illico_tpu.utils.log import logger
 
-__all__ = ["estimate_memory_usage", "log_memory_usage"]
+__all__ = ["estimate_memory_usage", "host_tile_budget", "log_memory_usage"]
+
+
+def _mem_available_bytes() -> int | None:
+    """``MemAvailable`` from /proc/meminfo, or None when unreadable."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
+def host_tile_budget() -> int:
+    """Host-memory budget (bytes) for in-flight input tiles.
+
+    The reference's host high-watermark is a published contract
+    (``/root/reference/README.md:188-225``: 114 MiB at K562 scale); this
+    build streams densified tiles instead of sparse windows, so the analog
+    is a budget that the auto tile width must respect.  Priority:
+    ``ILLICO_TPU_HOST_BUDGET`` env override (bytes), else 25% of the
+    machine's currently-available RAM, clamped to [256 MB, 8 GB]; 1 GB when
+    availability cannot be read (non-Linux).
+    """
+    env = os.environ.get("ILLICO_TPU_HOST_BUDGET")
+    if env:
+        try:
+            return max(int(float(env)), 1 << 20)
+        except ValueError:
+            logger.warning(
+                "Ignoring unparseable ILLICO_TPU_HOST_BUDGET=%r.", env
+            )
+    avail = _mem_available_bytes()
+    if avail is None:
+        return int(1e9)
+    return int(min(max(avail // 4, 256 * 2**20), 8 * 2**30))
 
 
 def estimate_memory_usage(

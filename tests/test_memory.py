@@ -78,6 +78,77 @@ def test_memory_estimator_orders_of_magnitude():
     assert device >= 1000 * 100 * 4
 
 
+def test_host_tile_budget_env_override(monkeypatch):
+    from illico_tpu.utils.memory import host_tile_budget
+
+    monkeypatch.setenv("ILLICO_TPU_HOST_BUDGET", "123456789")
+    assert host_tile_budget() == 123456789
+    monkeypatch.setenv("ILLICO_TPU_HOST_BUDGET", "not-a-number")
+    assert host_tile_budget() >= 256 * 2**20  # falls back to RAM-derived
+    monkeypatch.delenv("ILLICO_TPU_HOST_BUDGET")
+    b = host_tile_budget()
+    assert 256 * 2**20 <= b <= 8 * 2**30
+
+
+def test_auto_width_binds_to_host_budget(monkeypatch):
+    """The RAM-derived budget caps the auto tile width for host inputs.
+
+    160 MB budget, 100k cells, n_threads=1 (3 in-flight tiles): the cap is
+    160e6 / (3 * 100000 * 4) = 133 columns -> floored to the 128 grid, far
+    below the engine's unconstrained 512/2048 preference.
+    """
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    monkeypatch.setenv("ILLICO_TPU_HOST_BUDGET", str(int(160e6)))
+    n = 100_000
+    X = np.zeros((n, 512), np.float32)
+    handler = data_handler_registry.get(X)
+    _, info = encode_and_count_groups(np.repeat(np.arange(4), n // 4), None)
+    for engine in ("sort", "hist"):
+        runner = WilcoxonRunner(
+            handler, info, is_log1p=False, batch_size="auto",
+            n_threads=1, engine=engine,
+        )
+        assert runner.tile_width == 128, engine
+
+
+def test_host_watermark_under_budget(monkeypatch):
+    """tracemalloc watermark at a scale where the budget binds.
+
+    Full matrix is 100k x 512 x 4B = 205 MB; the 160 MB budget forces
+    128-wide tiles (51 MB each, <=3 in flight).  The streaming heap must
+    stay well under the unbudgeted footprint (3 x 512-wide = 615 MB) and
+    within budget + slack (zero-copy views, tqdm, pandas overhead).
+    """
+    n, t = 100_000, 512
+    rng = np.random.RandomState(0)
+    X = rng.poisson(1.0, (n, t)).astype(np.float32)
+    labels = np.array([f"p{v}" for v in rng.randint(0, 4, n)])
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    budget = int(160e6)
+    monkeypatch.setenv("ILLICO_TPU_HOST_BUDGET", str(budget))
+
+    def run():
+        asymptotic_wilcoxon_arrays(
+            X, labels, reference="p0", is_log1p=False,
+            batch_size="auto", n_threads=1, progress=False, engine="sort",
+        )
+
+    run()  # warm-up: XLA compile allocates through the Python allocator
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    run()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    heap = peak - base
+    # results (4 x 512 x 4 arrays x 8B) are negligible; 1.3x slack covers
+    # interpreter noise.
+    assert heap < 1.3 * budget, f"streaming heap {heap/1e6:.1f} MB over budget"
+
+
 def test_prefetch_threads_equivalence(tmp_path):
     """n_threads only changes prefetch parallelism, never results."""
     adata = _big_adata(n=5000, t=300)
