@@ -196,7 +196,16 @@ def hist_pass(
     Kept in a separate jit traced *without* x64 — Pallas/Mosaic lowering
     requires 32-bit index arithmetic; the float64 contractions live in
     :func:`hist_contract` traced with x64 enabled.
+
+    Narrow-wire inputs (int8/uint16/float16 tiles shipped in their storage
+    dtype, 2-4x fewer host->device bytes) are cast to float32 here, on
+    device: exact for integers below 2**24 and for every float16 value.
+    The reference reads sparse storage natively for the same reason
+    (``/root/reference/illico/utils/sparse/csr.py:144-196``) — ship the
+    information, not the container.
     """
+    if x_raw.dtype not in (jnp.float32, jnp.float64):
+        x_raw = x_raw.astype(jnp.float32)
     gathered = jnp.take(x_raw, jnp.clip(perm, 0, x_raw.shape[0] - 1), axis=0)
     xp = jnp.where(pad_mask[:, None], jnp.asarray(jnp.inf, gathered.dtype), gathered)
     xp = xp.astype(jnp.float32)

@@ -196,6 +196,11 @@ def rank_stats_tile(
       OVO: U2 (2x U_tgt, exact), tie_seg (G, T), tie_ref_col (T,)
       both: fc_sums (G, T) when compute_fc, nnz not required (dense algebra).
     """
+    # Narrow-wire inputs (int8/uint16/float16 shipped in storage dtype) are
+    # cast to float32 on device — exact for integers below 2**24 and for
+    # every float16 value; float32/float64 tiles pass through untouched.
+    if x_raw.dtype not in (jnp.float32, jnp.float64):
+        x_raw = x_raw.astype(jnp.float32)
     n_pad = perm.shape[0]
     t_cols = x_raw.shape[1]
     # Static trace-time branch: above _I32_SAFE_N_PAD rows the int32
