@@ -21,6 +21,8 @@ CASES = [
     (3, 2000, 5, 8, 0.2, 3.0, np.int16, "csc"),
     (4, 300, 64, 2, 0.5, 150.0, np.float32, "dense"),  # counts > 128
     (5, 1500, 9, 6, 0.05, 0.5, np.float64, "dense"),   # f64 -> sort engine
+    (6, 900, 21, 4, 0.3, 2.0, np.int8, "dense"),       # 1-byte narrow wire
+    (7, 700, 13, 3, 0.6, 60.0, np.float16, "dense"),   # f16 narrow wire
 ]
 
 
@@ -95,10 +97,16 @@ def test_fuzz_soak():
         g = int(rng.randint(2, min(10, max(3, n // 8))))
         density = float(rng.uniform(0.02, 0.95))
         lam = float(rng.choice([0.3, 1.0, 2.0, 5.0, 40.0, 200.0, 1500.0]))
+        # int8/uint8/int16/uint16/float16 additionally exercise the narrow
+        # host->device wire (storage-dtype staging + on-device f32 cast).
+        # Out-of-range casts (e.g. lam=1500 into uint8) wrap, but both the
+        # engine and the scipy oracle see the same post-cast values.
         dtype = rng.choice([np.float32, np.float64, np.int32, np.uint8,
-                            np.int16])
+                            np.int16, np.int8, np.uint16, np.float16])
         fmt = str(rng.choice(["dense", "csr", "csc", "device",
                               "h5-dense", "h5-csc"]))
+        if dtype == np.float16 and fmt in ("csr", "csc", "h5-csc"):
+            fmt = "dense"  # scipy.sparse has no float16 support
         mode = str(rng.choice(["ovo", "ovr"]))
         alternative = str(rng.choice(["two-sided", "less", "greater"]))
         use_continuity = bool(rng.randint(2))
