@@ -35,7 +35,8 @@ import time
 
 import numpy as np
 
-BASELINE_SECONDS = 29.70  # reference, 8 threads, EPYC 7J13 (README.md:142)
+BASELINE_SECONDS = 29.70  # reference OVO, 8 threads, EPYC 7J13 (README.md:142)
+OVR_BASELINE_SECONDS = 19.31  # reference OVR, 8 threads (README.md:176-183)
 
 N_CELLS = 300_000
 N_GENES = 8_000
@@ -185,7 +186,7 @@ def make_device_data(n_cells, n_genes, n_groups, seed=0):
     return X, groups
 
 
-def _prewarm(X, groups):
+def _prewarm(X, groups, reference="non-targeting"):
     """AOT-compile the run's exact executables without pulling results.
 
     Builds the same runner the public API will build (same layout statics,
@@ -194,25 +195,27 @@ def _prewarm(X, groups):
     statics), so the timed public-API calls start fully warm; the
     persistent on-disk XLA cache makes this step itself cheap in warm
     processes.  The reference likewise precompiles outside its timer
-    (tests/test_asymptotic_wilcoxon.py:334).
+    (tests/test_asymptotic_wilcoxon.py:334).  ``reference=None`` prewarms
+    the OVR variant (distinct executables: ref_code=-1, R2 wire).
     """
     from illico_tpu.models.wilcoxon import WilcoxonRunner
     from illico_tpu.utils.groups import encode_and_count_groups
     from illico_tpu.utils.registry import data_handler_registry
 
     handler = data_handler_registry.get(X)
-    _, info = encode_and_count_groups(groups, "non-targeting")
+    _, info = encode_and_count_groups(groups, reference)
     runner = WilcoxonRunner(handler, info, is_log1p=False)
     runner.precompile()
     return runner
 
 
-def emit(best: float) -> None:
+def emit(best: float, metric="k562_scale_ovo_dense_seconds",
+         baseline=BASELINE_SECONDS) -> None:
     print(json.dumps({
-        "metric": "k562_scale_ovo_dense_seconds",
+        "metric": metric,
         "value": round(best, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / best, 3),
+        "vs_baseline": round(baseline / best, 3),
     }), flush=True)
 
 
@@ -240,9 +243,20 @@ def main():
     _preempt_background_jobs()
     _preflight_device_probe()
     attempt = int(os.environ.get("ILLICO_BENCH_ATTEMPT", "0"))
-    phase_budget = (240 if quick else 420) + 300 * attempt
+
+    def _phase_alarm():
+        # Escalate with the retry attempt (cold-cache setups take 400-800 s
+        # and each attempt persists progress to the on-disk XLA cache), but
+        # CLAMP to the remaining wall-clock cap: T0 persists across the
+        # re-exec, so an unclamped escalation could let a hung retry phase
+        # run past CAP_S before SIGALRM fires (round-2 advisor finding).
+        budget = (240 if quick else 420) + 300 * attempt
+        budget = min(budget, max(60, int(CAP_S - _elapsed())))
+        signal.alarm(budget)
+        return budget
+
     signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(phase_budget)
+    phase_budget = _phase_alarm()
 
     from illico_tpu import asymptotic_wilcoxon_arrays, enable_compilation_cache
 
@@ -252,7 +266,7 @@ def main():
     gen_s = time.perf_counter() - t0
     print(f"# setup phase 1: data gen {gen_s:.1f}s (attempt {attempt}, "
           f"phase budget {phase_budget}s)", file=sys.stderr, flush=True)
-    signal.alarm(phase_budget)  # re-arm: prewarm gets its own full budget
+    _phase_alarm()  # re-arm: prewarm gets its own (clamped) budget
     t0 = time.perf_counter()
     _prewarm(X, groups)
     warm_s = time.perf_counter() - t0
@@ -265,10 +279,10 @@ def main():
 
     n_expected_rows = len(np.unique(groups)) * X.shape[1]
 
-    def timed_run():
+    def timed_run(reference="non-targeting"):
         t0 = time.perf_counter()
         res = asymptotic_wilcoxon_arrays(
-            X, groups, reference="non-targeting", progress=False,
+            X, groups, reference=reference, progress=False,
         )
         dt = time.perf_counter() - t0
         assert res.shape[0] == n_expected_rows
@@ -282,30 +296,74 @@ def main():
     times = [timed_run()]
     emit(min(times))
 
-    n_runs = 2 if quick else 4
-    max_runs = 2 if quick else 7
-    while len(times) < n_runs:
-        sleep_s = 0 if quick else 130
-        if _elapsed() + sleep_s + max(times) > CAP_S:
-            print(f"# wall-clock cap {CAP_S:.0f}s reached after "
-                  f"{len(times)} runs", file=sys.stderr, flush=True)
+    # Link-credit refill between draws: a full-scale pull (~164 MB) drains
+    # more than one burst allotment, and the measured run-1-fast / rest-slow
+    # pattern in BENCH_r02 says 130 s under-refills after a full pull.
+    # Start at 180 s and escalate when a draw comes back far off the best
+    # (credits still low or the link phase is congested).
+    sleep_s = 0 if quick else 180
+    # Budget-aware extension (round-2 VERDICT item 2): keep drawing until
+    # the wall-clock cap minus a worst-case draw, not a fixed count — on a
+    # diurnal link, one more good-window draw is exactly what the min-of-N
+    # defense exists for.  Stop early only at the ~6.5 s transfer floor,
+    # where another draw cannot meaningfully improve the record.
+    FLOOR_S = 7.0
+    max_draws = 2 if quick else 12
+    while len(times) < max_draws and min(times) > FLOOR_S:
+        worst_case_draw = 1.2 * max(times) + 15
+        if _elapsed() + sleep_s + worst_case_draw > CAP_S:
+            print(f"# wall-clock cap {CAP_S:.0f}s would be breached after "
+                  f"{len(times)} draws", file=sys.stderr, flush=True)
             break
         time.sleep(sleep_s)
         times.append(timed_run())
         emit(min(times))
-        # All runs caught a congested link phase? Buy more lottery tickets —
-        # unless the service is outright degraded (last run far beyond
-        # congestion-level wall times), where extra draws only burn budget.
-        # (A clean-phase run is ~6.5 s as of 0.1.4; >12 s means every
-        # sample so far hit congestion.)
-        if (
-            len(times) == n_runs and n_runs < max_runs
-            and min(times) > 12.0 and times[-1] < 60.0
-        ):
-            n_runs += 1
+        if not quick:
+            # Slow draw right after a refill sleep: refill was under-sized
+            # for the current link phase — escalate.  Fast draw: keep the
+            # cheaper cadence.
+            sleep_s = 240 if times[-1] > 2.0 * min(times) else 180
+
+    # Secondary official metric: the OVR variant (round-2 VERDICT item 6 —
+    # the 6 B/test R2 row-split wire had no driver-visible number).  Runs
+    # only when the remaining budget covers its prewarm (distinct
+    # executables; warm-cache: seconds) plus one draw, and never displaces
+    # the OVO record: the final emitted line is always the OVO headline.
+    ovr_times = []
+    if not quick:
+        ovr_reserve = 300 + 1.2 * max(times)
+        if _elapsed() + ovr_reserve <= CAP_S:
+            try:
+                _phase_alarm()
+                t0 = time.perf_counter()
+                _prewarm(X, groups, reference=None)
+                warm_ovr = time.perf_counter() - t0
+                signal.alarm(0)
+                print(f"# OVR prewarm {warm_ovr:.1f}s",
+                      file=sys.stderr, flush=True)
+                while (
+                    len(ovr_times) < 3
+                    and _elapsed() + sleep_s + (1.2 * max(times) + 15)
+                        <= CAP_S
+                    and (not ovr_times or min(ovr_times) > FLOOR_S)
+                ):
+                    time.sleep(sleep_s)
+                    ovr_times.append(timed_run(reference=None))
+                    emit(min(ovr_times),
+                         metric="k562_scale_ovr_dense_seconds",
+                         baseline=OVR_BASELINE_SECONDS)
+            except Exception as e:  # OVR is additive: never lose the OVO record
+                signal.alarm(0)
+                print(f"# OVR variant skipped ({type(e).__name__}: {e})",
+                      file=sys.stderr, flush=True)
+
+    # The driver records the LAST line: always the OVO headline.
+    emit(min(times))
     print(
         f"# shape={X.shape}, groups={n_groups}; "
-        f"runs: {[round(t, 2) for t in times]}; total {_elapsed():.0f}s",
+        f"runs: {[round(t, 2) for t in times]}; "
+        f"ovr runs: {[round(t, 2) for t in ovr_times]}; "
+        f"total {_elapsed():.0f}s",
         file=sys.stderr, flush=True,
     )
 

@@ -31,11 +31,17 @@ run_bg() { # run_bg <logfile> <cmd...>
 
 case "$1" in
   bench)   run_bg /tmp/r2_bench.log   timeout 1500 python bench.py ;;
-  suite)   run_bg /tmp/r2_suite.log   timeout 3000 python benchmarks/run_benchmarks.py ;;
-  scaling) run_bg /tmp/r2_scaling.log timeout 3000 python benchmarks/scaling_study.py --runs 3 ;;
+  qbench)  run_bg /tmp/r3_qbench.log  timeout 590 python bench.py --quick ;;
+  hostwire) run_bg /tmp/r3_hostwire.log \
+             timeout 2400 python benchmarks/host_wire_bench.py ;;
+  suite)   run_bg /tmp/r2_suite.log   timeout 4500 python benchmarks/run_benchmarks.py ;;
+  scaling) run_bg /tmp/r2_scaling.log timeout 4500 python benchmarks/scaling_study.py --runs 3 ;;
+  # Measured 2026-08-19: the TPU-backend suite runs ~2.7 tests/min over the
+  # remote-compile tunnel (first pass; disk-cached compiles speed reruns) —
+  # the full ~350 tests need ~2.5 h, not the 50 min first guessed.
   tests)   run_bg /tmp/r2_tests.log   env ILLICO_TPU_TEST_TPU=1 \
-             timeout 3000 python -m pytest tests/ -q ;;
+             timeout 10800 python -m pytest tests/ -q ;;
   stress)  run_bg /tmp/r2_stress.log  env ILLICO_TPU_TEST_TPU=1 \
-             timeout 1800 python -m pytest -m tpu_stress -q -s ;;
+             timeout 3600 python -m pytest -m tpu_stress -q -s ;;
   *) echo "unknown stage: $1" >&2; exit 2 ;;
 esac
