@@ -119,7 +119,11 @@ def main():
         },
         "note": "scanpy/pdex not installable here (zero egress); "
         "vectorized scipy.stats.mannwhitneyu is the same statistical "
-        "kernel scanpy's wilcoxon method wraps",
+        "kernel scanpy's wilcoxon method wraps. The gene-linear "
+        "extrapolation is exact for scipy (per-gene ranking) but an "
+        "UPPER BOUND for illico_tpu, whose small-gene-count time is "
+        "fixed-cost dominated — see bench.py for the measured full-scale "
+        "number",
     }
     out = (
         Path(__file__).resolve().parent.parent / ".benchmarks"
