@@ -352,6 +352,10 @@ def main():
                     emit(min(ovr_times),
                          metric="k562_scale_ovr_dense_seconds",
                          baseline=OVR_BASELINE_SECONDS)
+                    # Immediately restore the OVO headline as the last
+                    # line: a harness kill mid-OVR must never leave the
+                    # OVR metric as the recorded final emission.
+                    emit(min(times))
             except Exception as e:  # OVR is additive: never lose the OVO record
                 signal.alarm(0)
                 print(f"# OVR variant skipped ({type(e).__name__}: {e})",

@@ -50,15 +50,11 @@ def main():
 
     enable_compilation_cache()
 
+    from _datagen import synthetic_counts
+
     n, t, g = args.cells, args.genes, args.groups
-    rng = np.random.RandomState(0)
-    x8 = rng.poisson(2.0, (n, t)).astype(np.int8)
-    x8[rng.rand(n, t) < 0.9] = 0
-    np.minimum(x8, 126, out=x8)
+    x8, groups = synthetic_counts(n, t, g, dtype=np.int8, clamp=126)
     x32 = x8.astype(np.float32)
-    labels = rng.randint(1, g, n)
-    labels[rng.rand(n) < 0.1] = 0
-    groups = np.array([f"pert_{v}" if v else "non-targeting" for v in labels])
 
     results = {}
     for name, x in (("int8_narrow_wire", x8), ("float32_wire", x32)):
@@ -68,7 +64,10 @@ def main():
         )
         times = []
         for r in range(args.runs):
-            time.sleep(args.sleep if r or name != "int8_narrow_wire" else 0)
+            # Refill sleep before EVERY timed run (the warm-up above
+            # drains credits too): both configs draw from the same
+            # refilled-link distribution, keeping the comparison fair.
+            time.sleep(args.sleep)
             t0 = time.perf_counter()
             asymptotic_wilcoxon_arrays(
                 x, groups, reference="non-targeting", progress=False

@@ -19,20 +19,14 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+from _datagen import synthetic_counts
+
+
 def _data(n, t, g, seed=0, heavy_tail=False):
-    rng = np.random.RandomState(seed)
-    x = rng.poisson(2.0, (n, t)).astype(np.float32)
-    x[rng.rand(n, t) < 0.9] = 0
-    if heavy_tail:
-        # ~2% of genes carry counts far beyond the histogram value table
-        # (>= 512): exercises the overflow -> sort-engine fallback the
-        # Poisson headline never touches (VERDICT round-1 weakness 8).
-        hot = rng.choice(t, size=max(1, t // 50), replace=False)
-        x[:, hot] += rng.poisson(2000.0, (n, hot.size)).astype(np.float32)
-    labels = rng.randint(1, g, n)
-    labels[rng.rand(n) < 0.1] = 0
-    groups = np.array([f"pert_{v}" if v else "non-targeting" for v in labels])
-    return x, groups
+    # heavy_tail: ~2% of genes beyond the histogram value table (>= 512),
+    # exercising the overflow -> sort-engine fallback the Poisson headline
+    # never touches (VERDICT round-1 weakness 8).
+    return synthetic_counts(n, t, g, seed, heavy_tail=heavy_tail)
 
 
 def main():
@@ -111,6 +105,21 @@ def main():
     ))
     out.parent.mkdir(parents=True, exist_ok=True)
 
+    # Fresh-process retry resume: keep configs a previous attempt already
+    # measured and saved (each attempt would otherwise overwrite the
+    # versioned JSON from scratch and could leave FEWER results on disk
+    # than its predecessor when it too dies).
+    import os as _os
+
+    if int(_os.environ.get("ILLICO_SUITE_ATTEMPT", "0")) and out.exists():
+        try:
+            prev = json.loads(out.read_text())
+            if prev.get("version") == payload["version"]:
+                payload["results"] = prev.get("results", [])
+        except (json.JSONDecodeError, OSError):
+            pass
+    measured = {r["name"] for r in payload["results"]}
+
     def _save():
         # Rewrite after every config: a bounded-budget timeout (cold remote
         # compiles are minutes each) keeps the configs already measured.
@@ -119,6 +128,9 @@ def main():
         tmp.replace(out)
 
     for name, xx, gg, engine, ref in configs:
+        if name in measured:
+            print(f"# {name}: kept from previous attempt", file=sys.stderr)
+            continue
         kw = dict(
             reference=ref, engine=engine, batch_size=512, progress=False
         )
@@ -148,7 +160,12 @@ def _main_with_retry():
     """Fresh-process retry on TPU-runtime faults (same defense as bench.py:
     transient ABORTED / FAILED_PRECONDITION backend errors at process start
     killed a round-3 suite run 23 s in; the broken terminal is picked at
-    process start, so only a re-exec retries effectively)."""
+    process start, so only a re-exec retries effectively).
+
+    Deliberately duplicated from ``bench.py._main_with_retry`` rather than
+    shared: bench.py must stay standalone for the driver (no package
+    imports before its watchdogs are armed), and the two differ in how the
+    attempt counter feeds phase budgets / result resume."""
     import os
 
     attempt = int(os.environ.get("ILLICO_SUITE_ATTEMPT", "0"))

@@ -56,14 +56,10 @@ def main():
 
     enable_compilation_cache()
 
+    from _datagen import synthetic_counts
+
     n, t, g = args.cells, args.genes, args.groups
-    rng = np.random.RandomState(0)
-    x = rng.poisson(2.0, (n, t)).astype(np.int8)
-    x[rng.rand(n, t) < 0.9] = 0
-    np.minimum(x, 126, out=x)
-    labels = rng.randint(1, g, n)
-    labels[rng.rand(n) < 0.1] = 0
-    groups = np.array([f"pert_{v}" if v else "non-targeting" for v in labels])
+    x, groups = synthetic_counts(n, t, g, dtype=np.int8, clamp=126)
 
     # --- illico_tpu (OVO dense, device path warm) ---------------------------
     asymptotic_wilcoxon_arrays(

@@ -392,7 +392,20 @@ class WilcoxonRunner:
             in_flight = max(2, self.n_threads) + 2
             itemsize = int(np.dtype(self.wire_dtype).itemsize)
             per_col = in_flight * self.handler.shape[0] * itemsize
-            wide_cap = min(wide_cap, int(host_tile_budget() / max(per_col, 1)))
+            budget = host_tile_budget()
+            wide_cap = min(wide_cap, int(budget / max(per_col, 1)))
+            if wide_cap < 128:
+                # 128 columns is the hardware floor (Mosaic lane tiling /
+                # the engines' 128-aligned column contract) — the budget
+                # cannot bind below it, so say so instead of silently
+                # exceeding an explicit cap.
+                logger.warning(
+                    "Host tile budget %.0f MB allows only %d columns but "
+                    "the engine floor is 128 (in-flight tiles will hold "
+                    "~%.0f MB); raise ILLICO_TPU_HOST_BUDGET or lower "
+                    "n_threads.", budget / 1e6, max(wide_cap, 0),
+                    per_col * 128 / 1e6,
+                )
         if self.engine != "hist":
             return max(128, (wide_cap // 128) * 128)
         G = max(1, self.info.n_groups)

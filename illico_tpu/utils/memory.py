@@ -41,14 +41,20 @@ def host_tile_budget() -> int:
     if env:
         try:
             return max(int(float(env)), 1 << 20)
-        except ValueError:
+        except (ValueError, OverflowError):  # "abc", "inf", "nan"
             logger.warning(
                 "Ignoring unparseable ILLICO_TPU_HOST_BUDGET=%r.", env
             )
     avail = _mem_available_bytes()
     if avail is None:
         return int(1e9)
-    return int(min(max(avail // 4, 256 * 2**20), 8 * 2**30))
+    budget = int(min(max(avail // 4, 256 * 2**20), 8 * 2**30))
+    # Quantize DOWN to a power of two: MemAvailable jitters run-to-run,
+    # and an unquantized budget would flip the derived tile width between
+    # processes — changing the (shape, dtype) executable signature and
+    # defeating the persistent compile cache (minutes per fresh compile
+    # over a remote-compile link).
+    return 1 << (budget.bit_length() - 1)
 
 
 def estimate_memory_usage(
