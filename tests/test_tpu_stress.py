@@ -7,9 +7,11 @@ Run explicitly with:
 Each trial draws shape / group count / expression scale / sparsity /
 log1p / alternative / test mode / engine at random and asserts the exact
 contract (U bit-equal, p within 1e-12) on sampled (group, gene) cells.
-Covers the narrow wire-encoding tiers, the adaptive value table, and the
+Covers the narrow wire-encoding tiers, the adaptive value table, the
+narrow input-wire storage dtypes (int8/uint16/float16), and the
 sort-engine overflow fallback (lam=200 exceeds the largest table) on the
-actual hardware. Last full pass: 16 trials / 84 checks on v5e.
+actual hardware. Last full pass: 16 trials + the deterministic R2-split
+trial / 88 checks on v5e, 9 trials on narrow wire dtypes.
 """
 
 import os
@@ -46,14 +48,25 @@ def test_randomized_tpu_stress():
         alt = str(r.choice(["two-sided", "greater", "less"]))
         mode = str(r.choice(["ovo", "ovr"]))
         engine = str(r.choice(["auto", "sort"]))
+        # Narrow-wire storage dtypes (0.1.6): the host tile ships in this
+        # dtype and is cast to f32 on device; the oracle sees the same
+        # post-cast values because xd derives from x below.
+        wire_dt = (
+            str(r.choice(["float32", "int8", "uint16", "float16"]))
+            if not log1p else "float32"
+        )
 
         counts = r.poisson(lam, (n, t)).astype(np.float64)
         counts[r.rand(n, t) >= density] = 0
+        if wire_dt == "int8":
+            np.minimum(counts, 120, out=counts)  # int8-representable
         x = (
             np.log1p(counts).astype(np.float32)
             if log1p
             else counts.astype(np.float32)
         )
+        if wire_dt != "float32":
+            x = x.astype(wire_dt)
         labels = r.randint(0, g, n)
         if r.randint(2):
             # Skewed control (~60% of cells): the production regime where
@@ -86,7 +99,7 @@ def test_randomized_tpu_stress():
                 n_checked += 1
         print(
             f"trial {trial}: n={n} t={t} g={g} lam={lam} log1p={log1p} "
-            f"alt={alt} {mode}/{engine} OK", flush=True,
+            f"alt={alt} {mode}/{engine} wire={wire_dt} OK", flush=True,
         )
 
     # Deterministic large-OVR trial: 2*n_ctl*n_total ~ 3.6e9 > 2^31, so
