@@ -1,7 +1,9 @@
 """Benchmarks-as-tests, mirroring the reference's pytest-benchmark suite
 (``/root/reference/tests/test_asymptotic_wilcoxon.py:323-373``, markers from
-``pyproject.toml:49-52``).  Excluded from the default run; invoke with
-``pytest -m speed_bench`` (ideally on TPU).
+``pyproject.toml:49-52``).  The marked benchmarks are excluded from the
+default run; invoke with ``pytest -m speed_bench`` (ideally on TPU).  The
+unmarked resume-regression test below is a fast correctness test and runs
+by default.
 """
 
 import json
@@ -43,13 +45,13 @@ def test_speed_benchmark(test, engine, tmp_path):
     (tmp_path / "result.json").write_text(json.dumps(rec))
 
 
-def test_run_benchmarks_resumes_partial_results(tmp_path, monkeypatch):
+def test_run_benchmarks_resumes_partial_results(tmp_path):
     """Fresh-process retry must keep configs a prior attempt already saved
     (round-3 self-review: a retry used to overwrite the versioned JSON from
     scratch, so a dying retry could leave FEWER results than its
-    predecessor).  Runs the script in-process with a fabricated partial
-    artifact and the attempt env set; the kept config must survive with its
-    original (sentinel) timing and must not be re-measured."""
+    predecessor).  Runs the script in a subprocess with a fabricated
+    partial artifact and the attempt env set; the kept config must survive
+    with its original (sentinel) timing and must not be re-measured."""
     import subprocess
     import sys
     from pathlib import Path
