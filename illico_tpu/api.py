@@ -41,7 +41,7 @@ def asymptotic_wilcoxon(
     layer: str | None = None,
     precompile: bool = True,
     device=None,
-    devices: int | None = None,
+    devices: int | tuple[int, int] | None = None,
     progress: bool = True,
     engine: str = "auto",
     profile_dir: str | None = None,
@@ -59,6 +59,10 @@ def asymptotic_wilcoxon(
     ``devices`` (int > 1) shards every gene tile over a 1-D mesh of that
     many devices (the reference's thread pool at chip granularity; columns
     are independent, so the hot path has zero cross-chip collectives).
+    A ``(cell_devices, gene_devices)`` tuple builds a 2-D mesh that also
+    shards the *cell* axis — histogram-engine only: per-shard histograms
+    are additive, so one ``psum`` reconstructs the exact global counts
+    (:mod:`illico_tpu.parallel.cells`).
     ``engine`` selects the device kernel: ``"hist"`` (histogram contraction,
     the fast path for integer-count / log1p data, with automatic per-column
     fallback), ``"sort"`` (general comparison-sort engine), or ``"auto"``.
@@ -90,7 +94,18 @@ def asymptotic_wilcoxon(
     )
 
     mesh = None
-    if devices is not None and devices > 1:
+    if isinstance(devices, (tuple, list)):
+        if len(devices) != 2:
+            raise ValueError(
+                f"devices must be an int or a (cell_devices, gene_devices) "
+                f"pair; got {devices!r}"
+            )
+        cell_dev, gene_dev = (int(v) for v in devices)
+        if cell_dev * gene_dev > 1:
+            from illico_tpu.parallel.cells import make_mesh_2d
+
+            mesh = make_mesh_2d(cell_dev, gene_dev)
+    elif devices is not None and devices > 1:
         from illico_tpu.parallel.mesh import make_gene_mesh
 
         mesh = make_gene_mesh(devices)

@@ -298,7 +298,64 @@ class WilcoxonRunner:
         self._interpret = jax.default_backend() != "tpu"
         self.mesh = mesh
         self._col_sharding = None
-        if mesh is not None:
+        # Rows the device actually stages per tile: cell-sharded meshes pad
+        # the row axis so it divides evenly across the cell shards.
+        self._row_pad = 0
+        self._staged_rows = self.layout.n_cells
+        if mesh is not None and "cells" in mesh.axis_names:
+            # 2-D (cells x genes) mesh: the cell axis shards via additive
+            # per-shard histograms merged by ONE psum
+            # (illico_tpu/parallel/cells.py) — a scaling axis the sort
+            # engine cannot express (per-group rank sums do not compose
+            # across cell shards without a distributed sorted-run merge,
+            # SURVEY §5).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if tuple(mesh.axis_names) != ("cells", "genes"):
+                raise ValueError(
+                    "2-D meshes must have axes ('cells', 'genes'); got "
+                    f"{mesh.axis_names}. Build one with "
+                    "illico_tpu.parallel.cells.make_mesh_2d."
+                )
+            if engine != "hist":
+                raise ValueError(
+                    "Cell-axis sharding requires the histogram engine: "
+                    "per-group rank sums do not compose across cell shards "
+                    f"in the sort engine, but engine {engine!r} was "
+                    "selected (auto-selection routes float64 inputs and "
+                    "out-of-bound group sizes there). Use a 1-D gene mesh "
+                    "(devices=<int>) for this dataset."
+                )
+            n_gene_dev = int(mesh.shape["genes"])
+            n_cell_dev = int(mesh.shape["cells"])
+            # Per-gene-shard widths must be 128-aligned (grouped_histograms'
+            # column blocking), as on the 1-D mesh.
+            align = n_gene_dev * 128
+            if self.tile_width % align:
+                self.tile_width = -(-self.tile_width // align) * align
+                self.bounds = [
+                    (lb, min(lb + self.tile_width, self.n_genes))
+                    for lb in range(0, self.n_genes, self.tile_width)
+                ]
+            self._col_sharding = NamedSharding(
+                mesh, PartitionSpec("cells", "genes")
+            )
+            from illico_tpu.parallel.cells import (
+                build_cell_shard_plans,
+                make_cell_sharded_hist_fn,
+            )
+
+            plan = build_cell_shard_plans(group_info, n_cell_dev)
+            self._staged_rows = plan.n_shards * plan.rows_per_shard
+            self._row_pad = self._staged_rows - self.layout.n_cells
+            self.tile_fn = make_cell_sharded_hist_fn(
+                self.layout, plan, mesh,
+                ref_code=group_info.ref_code,
+                is_log1p=self.is_log1p,
+                interpret=self._interpret,
+                v_buckets=self._v_buckets,
+            )
+        elif mesh is not None:
             # Multi-chip: shard every tile over the gene axis of the mesh
             # (columns are independent — zero cross-chip collectives in the
             # hot path, the reference's thread pool at chip granularity).
@@ -586,14 +643,14 @@ class WilcoxonRunner:
         # (shape, dtype, sharding) signatures, cached process-wide, with
         # zero real dispatch.
         self.tile_fn.precompile(
-            (self.layout.n_cells, self.tile_width),
+            (self._staged_rows, self.tile_width),
             self.wire_dtype,
             self.device,
         )
         self._compiled = True
         logger.trace(
             "Compiled %s tile kernel (%d, %d) in %.2fs.",
-            self.engine, self.layout.n_cells, self.tile_width,
+            self.engine, self._staged_rows, self.tile_width,
             time.perf_counter() - t0,
         )
 
@@ -629,6 +686,20 @@ class WilcoxonRunner:
 
     def _run_tile(self, tile_np):
         if self._col_sharding is not None:
+            if self._row_pad:
+                # Cell-sharded mesh: rows must divide evenly across the cell
+                # shards. Padded rows are never referenced by any shard's
+                # local perm, so their value is irrelevant (zeros).
+                if isinstance(tile_np, np.ndarray):
+                    tile_np = np.concatenate(
+                        [tile_np,
+                         np.zeros((self._row_pad, tile_np.shape[1]),
+                                  tile_np.dtype)], axis=0,
+                    )
+                else:
+                    import jax.numpy as jnp
+
+                    tile_np = jnp.pad(tile_np, ((0, self._row_pad), (0, 0)))
             return self.tile_fn(jax.device_put(tile_np, self._col_sharding))
         if self._device_resident and self.device is None:
             return self.tile_fn(tile_np)

@@ -10,10 +10,11 @@ summaries.  Because the per-column work is embarrassingly parallel over ICI,
 scaling is linear by construction, exactly like the reference's ~7x/8-thread
 scaling but at chip granularity.
 
-A future cell-axis ("sp"-like) sharding would need a distributed merge of
-per-shard sorted runs (the rank merge generalizes to k sorted shards); the
-gene axis is always the cheaper direction for this workload, so it is the
-primary and default mesh axis.
+Cell-axis sharding lives in :mod:`illico_tpu.parallel.cells`: the sort
+engine would need a distributed merge of per-shard sorted runs, but the
+histogram engine's counts are additive over cells, so a 2-D (cells × genes)
+mesh needs exactly one ``psum``.  The gene axis remains the cheaper default
+direction (zero hot-path collectives), so it is the primary mesh axis.
 """
 
 from __future__ import annotations
@@ -28,7 +29,31 @@ import jax.numpy as jnp
 
 from illico_tpu.ops.rank_engine import PaddedLayout, rank_stats_tile
 
-__all__ = ["make_gene_mesh", "make_sharded_tile_fn", "make_sharded_hist_fn"]
+__all__ = [
+    "make_gene_mesh",
+    "make_sharded_tile_fn",
+    "make_sharded_hist_fn",
+    "shard_map_compat",
+]
+
+
+def shard_map_compat(f, mesh: Mesh, *, in_specs, out_specs):
+    """``shard_map`` across jax versions, with vma/replication checks off
+    (pallas_call out_shapes carry no vma info)."""
+    try:
+        from jax import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 
 # Process-wide AOT executable cache for the mesh path, keyed by (mesh
 # devices, shapes/dtypes, statics) — the sharded analog of the single-chip
@@ -166,23 +191,11 @@ def make_sharded_hist_fn(
     per-shard results over fast per-host links, not a single serial tunnel.
     """
     from jax.sharding import PartitionSpec
-    try:
-        from jax import shard_map
 
-        def _smap(f, in_specs, out_specs):
-            # check_vma=False: pallas_call out_shapes carry no vma info.
-            return shard_map(
-                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_vma=False,
-            )
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as _shard_map
-
-        def _smap(f, in_specs, out_specs):
-            return _shard_map(
-                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_rep=False,
-            )
+    def _smap(f, in_specs, out_specs):
+        return shard_map_compat(
+            f, mesh, in_specs=in_specs, out_specs=out_specs
+        )
 
     from illico_tpu.ops.hist_engine import (
         DEFAULT_V,
