@@ -101,6 +101,10 @@ def asymptotic_wilcoxon(
                 f"pair; got {devices!r}"
             )
         cell_dev, gene_dev = (int(v) for v in devices)
+        if cell_dev < 1 or gene_dev < 1:
+            raise ValueError(
+                f"devices axis sizes must be >= 1; got {devices!r}"
+            )
         if cell_dev * gene_dev > 1:
             from illico_tpu.parallel.cells import make_mesh_2d
 

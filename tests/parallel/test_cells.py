@@ -164,6 +164,22 @@ def test_public_api_cells_matches_single(problem, devices, reference):
     pd.testing.assert_frame_equal(df1, df2, check_exact=True)
 
 
+def test_cells_width_realigns_per_gene_shard(problem):
+    """batch_size that shards unevenly realigns to 128 per gene shard, and
+    multi-tile runs stay bit-exact (row pad applied per tile)."""
+    _needs(8)
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    x, labels = problem
+    groups = np.array([f"p{v}" for v in labels])
+    kw = dict(reference="p0", engine="hist", progress=False)
+    df1 = asymptotic_wilcoxon_arrays(x, groups, batch_size=50, **kw)
+    df2 = asymptotic_wilcoxon_arrays(
+        x, groups, devices=(2, 4), batch_size=50, **kw
+    )
+    pd.testing.assert_frame_equal(df1, df2, check_exact=True)
+
+
 def test_public_api_cells_sorted_labels(problem):
     """Labels sorted by group: early shards hold a single group (the
     absent-group all-pad block path end-to-end)."""
@@ -297,6 +313,11 @@ def test_cells_devices_tuple_validation(problem):
     with pytest.raises(ValueError, match="pair"):
         asymptotic_wilcoxon_arrays(
             x, groups, reference="p0", devices=(2,), progress=False
+        )
+    # A zero axis must fail loudly, not silently run single-device.
+    with pytest.raises(ValueError, match=">= 1"):
+        asymptotic_wilcoxon_arrays(
+            x, groups, reference="p0", devices=(0, 4), progress=False
         )
 
 
