@@ -237,8 +237,15 @@ def _run_host_window(
     engine: str = "auto",
     precompile: bool = True,
     progress: bool = False,
+    local_mesh: tuple[int, int] | None = None,
 ) -> tuple[int, int, np.ndarray]:
     """One host's unit of work: fetch + compute its gene window.
+
+    ``local_mesh=(cell_devices, gene_devices)`` lays the host's chips out
+    as a 2-D mesh (cell-axis sharding via additive histograms,
+    :mod:`illico_tpu.parallel.cells`) instead of the default 1-D gene
+    mesh — for datasets too tall for one chip's HBM, composed with the
+    per-host gene windows.
 
     Returns ``(lb, ub, block)`` with ``block`` of shape
     ``(n_groups, ub - lb, 3)`` in [p, U, fc] layout.
@@ -256,7 +263,17 @@ def _run_host_window(
         import jax
 
         local_devices = jax.local_devices()
-    if len(local_devices) > 1:
+    if local_mesh is not None:
+        cell_dev, gene_dev = (int(v) for v in local_mesh)
+        if cell_dev < 1 or gene_dev < 1:
+            raise ValueError(
+                f"local_mesh axis sizes must be >= 1; got {local_mesh!r}"
+            )
+        if cell_dev * gene_dev > 1:
+            from illico_tpu.parallel.cells import make_mesh_2d
+
+            mesh = make_mesh_2d(cell_dev, gene_dev, devices=local_devices)
+    elif len(local_devices) > 1:
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(local_devices), axis_names=("genes",))
@@ -360,6 +377,10 @@ def asymptotic_wilcoxon_multihost(
     ``adata`` must expose the same genes on every host — for backed h5ad
     data, each host opens the (shared or replicated) file and reads only
     its window.
+
+    ``local_mesh=(cell_devices, gene_devices)`` lays each host's chips
+    out as a 2-D mesh (cell-axis sharding, histogram engine only) instead
+    of the default 1-D gene mesh.
     """
     import jax
 

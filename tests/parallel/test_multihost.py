@@ -127,6 +127,30 @@ def test_simulate_multihost_matches_single_run(engine, reference):
     pd.testing.assert_frame_equal(df_mh, df_one)
 
 
+def test_simulate_multihost_2d_local_mesh_matches_single_run():
+    """2 simulated hosts, each laying its 4 local chips out as a 2x2
+    (cells x genes) mesh — DCN gene windows composed with cell-axis
+    sharding — equals the single-device run bit for bit."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    x, labels = _problem()
+    adata = AnnDataLite(
+        x,
+        obs=pd.DataFrame({"group": labels}),
+        var=pd.DataFrame(index=[f"g{i}" for i in range(x.shape[1])]),
+    )
+    from illico_tpu import asymptotic_wilcoxon
+
+    kw = dict(
+        is_log1p=False, group_keys="group", reference="p0", engine="hist"
+    )
+    df_one = asymptotic_wilcoxon(adata, progress=False, **kw)
+    df_mh = simulate_multihost(
+        adata, n_hosts=2, devices_per_host=4, local_mesh=(2, 2), **kw
+    )
+    pd.testing.assert_frame_equal(df_mh, df_one, check_exact=True)
+
+
 def test_simulate_multihost_empty_trailing_window():
     """More hosts than 128-gene windows: trailing hosts contribute empty
     blocks and assembly still covers the axis."""
