@@ -93,26 +93,9 @@ def asymptotic_wilcoxon(
         info.n_groups, int(info.counts.min()), int(info.counts.max()), reference,
     )
 
-    mesh = None
-    if isinstance(devices, (tuple, list)):
-        if len(devices) != 2:
-            raise ValueError(
-                f"devices must be an int or a (cell_devices, gene_devices) "
-                f"pair; got {devices!r}"
-            )
-        cell_dev, gene_dev = (int(v) for v in devices)
-        if cell_dev < 1 or gene_dev < 1:
-            raise ValueError(
-                f"devices axis sizes must be >= 1; got {devices!r}"
-            )
-        if cell_dev * gene_dev > 1:
-            from illico_tpu.parallel.cells import make_mesh_2d
+    from illico_tpu.parallel.cells import mesh_from_spec
 
-            mesh = make_mesh_2d(cell_dev, gene_dev)
-    elif devices is not None and devices > 1:
-        from illico_tpu.parallel.mesh import make_gene_mesh
-
-        mesh = make_gene_mesh(devices)
+    mesh = mesh_from_spec(devices)
 
     t0 = _time.perf_counter()
     runner = WilcoxonRunner(

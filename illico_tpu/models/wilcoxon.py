@@ -302,35 +302,41 @@ class WilcoxonRunner:
         # the row axis so it divides evenly across the cell shards.
         self._row_pad = 0
         self._staged_rows = self.layout.n_cells
-        if mesh is not None and "cells" in mesh.axis_names:
-            # 2-D (cells x genes) mesh: the cell axis shards via additive
-            # per-shard histograms merged by ONE psum
-            # (illico_tpu/parallel/cells.py) — a scaling axis the sort
-            # engine cannot express (per-group rank sums do not compose
-            # across cell shards without a distributed sorted-run merge,
-            # SURVEY §5).
+        if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            if tuple(mesh.axis_names) != ("cells", "genes"):
-                raise ValueError(
-                    "2-D meshes must have axes ('cells', 'genes'); got "
-                    f"{mesh.axis_names}. Build one with "
-                    "illico_tpu.parallel.cells.make_mesh_2d."
-                )
-            if engine != "hist":
-                raise ValueError(
-                    "Cell-axis sharding requires the histogram engine: "
-                    "per-group rank sums do not compose across cell shards "
-                    f"in the sort engine, but engine {engine!r} was "
-                    "selected (auto-selection routes float64 inputs and "
-                    "out-of-bound group sizes there). Use a 1-D gene mesh "
-                    "(devices=<int>) for this dataset."
-                )
-            n_gene_dev = int(mesh.shape["genes"])
-            n_cell_dev = int(mesh.shape["cells"])
-            # Per-gene-shard widths must be 128-aligned (grouped_histograms'
-            # column blocking), as on the 1-D mesh.
-            align = n_gene_dev * 128
+            is_2d = "cells" in mesh.axis_names
+            if is_2d:
+                # 2-D (cells x genes) mesh: the cell axis shards via
+                # additive per-shard histograms merged by ONE psum
+                # (illico_tpu/parallel/cells.py) — a scaling axis the sort
+                # engine cannot express (per-group rank sums do not compose
+                # across cell shards without a distributed sorted-run
+                # merge, SURVEY §5).
+                if tuple(mesh.axis_names) != ("cells", "genes"):
+                    raise ValueError(
+                        "2-D meshes must have axes ('cells', 'genes'); got "
+                        f"{mesh.axis_names}. Build one with "
+                        "illico_tpu.parallel.cells.make_mesh_2d."
+                    )
+                if engine != "hist":
+                    raise ValueError(
+                        "Cell-axis sharding requires the histogram engine: "
+                        "per-group rank sums do not compose across cell "
+                        f"shards in the sort engine, but engine {engine!r} "
+                        "was selected (auto-selection routes float64 inputs "
+                        "and out-of-bound group sizes there). Use a 1-D "
+                        "gene mesh (devices=<int>) for this dataset."
+                    )
+                n_gene_dev = int(mesh.shape["genes"])
+            else:
+                n_gene_dev = int(np.prod(mesh.devices.shape))
+            # The histogram kernel requires per-gene-shard widths of >= 128
+            # columns to be 128-divisible (grouped_histograms' column
+            # blocking — enforced on every backend, interpret included);
+            # keep each shard at a multiple of 128. The sort engine has no
+            # such constraint.
+            align = n_gene_dev * (128 if engine == "hist" else 1)
             if self.tile_width % align:
                 self.tile_width = -(-self.tile_width // align) * align
                 self.bounds = [
@@ -338,14 +344,17 @@ class WilcoxonRunner:
                     for lb in range(0, self.n_genes, self.tile_width)
                 ]
             self._col_sharding = NamedSharding(
-                mesh, PartitionSpec("cells", "genes")
+                mesh,
+                PartitionSpec("cells" if is_2d else None, "genes"),
             )
+
+        if mesh is not None and "cells" in mesh.axis_names:
             from illico_tpu.parallel.cells import (
                 build_cell_shard_plans,
                 make_cell_sharded_hist_fn,
             )
 
-            plan = build_cell_shard_plans(group_info, n_cell_dev)
+            plan = build_cell_shard_plans(group_info, int(mesh.shape["cells"]))
             self._staged_rows = plan.n_shards * plan.rows_per_shard
             self._row_pad = self._staged_rows - self.layout.n_cells
             self.tile_fn = make_cell_sharded_hist_fn(
@@ -359,22 +368,6 @@ class WilcoxonRunner:
             # Multi-chip: shard every tile over the gene axis of the mesh
             # (columns are independent — zero cross-chip collectives in the
             # hot path, the reference's thread pool at chip granularity).
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            n_dev = int(np.prod(mesh.devices.shape))
-            # The histogram kernel requires per-shard widths of >= 128
-            # columns to be 128-divisible (grouped_histograms' column
-            # blocking — enforced on every backend, interpret included);
-            # keep each shard at a multiple of 128. The sort engine has no
-            # such constraint.
-            align = n_dev * (128 if engine == "hist" else 1)
-            if self.tile_width % align:
-                self.tile_width = -(-self.tile_width // align) * align
-                self.bounds = [
-                    (lb, min(lb + self.tile_width, self.n_genes))
-                    for lb in range(0, self.n_genes, self.tile_width)
-                ]
-            self._col_sharding = NamedSharding(mesh, PartitionSpec(None, "genes"))
             if engine == "hist":
                 from illico_tpu.parallel.mesh import make_sharded_hist_fn
 
@@ -677,29 +670,27 @@ class WilcoxonRunner:
         # storage); the engines cast to the value dtype on device.
         if tile.dtype != self.wire_dtype:
             tile = tile.astype(self.wire_dtype)
-        if tile.shape[1] < self.tile_width:  # pad last tile's columns
-            pad = np.zeros(
-                (tile.shape[0], self.tile_width - tile.shape[1]), self.wire_dtype
+        if tile.shape[1] < self.tile_width or self._row_pad:
+            # One merged copy covers the short-final-tile column pad and the
+            # cell-shard row pad (rows must divide evenly across cell
+            # shards; padded rows are never referenced by any shard's local
+            # perm, so zeros are fine).  Done here — on the prefetch
+            # workers — not on the dispatch thread (single-core host).
+            buf = np.zeros(
+                (self._staged_rows, self.tile_width), self.wire_dtype
             )
-            tile = np.concatenate([tile, pad], axis=1)
+            buf[: tile.shape[0], : tile.shape[1]] = tile
+            tile = buf
         return tile
 
     def _run_tile(self, tile_np):
         if self._col_sharding is not None:
-            if self._row_pad:
-                # Cell-sharded mesh: rows must divide evenly across the cell
-                # shards. Padded rows are never referenced by any shard's
-                # local perm, so their value is irrelevant (zeros).
-                if isinstance(tile_np, np.ndarray):
-                    tile_np = np.concatenate(
-                        [tile_np,
-                         np.zeros((self._row_pad, tile_np.shape[1]),
-                                  tile_np.dtype)], axis=0,
-                    )
-                else:
-                    import jax.numpy as jnp
+            if self._row_pad and tile_np.shape[0] < self._staged_rows:
+                # Device-resident tiles reach here unpadded (_fetch pads
+                # host tiles on the prefetch workers).
+                import jax.numpy as jnp
 
-                    tile_np = jnp.pad(tile_np, ((0, self._row_pad), (0, 0)))
+                tile_np = jnp.pad(tile_np, ((0, self._row_pad), (0, 0)))
             return self.tile_fn(jax.device_put(tile_np, self._col_sharding))
         if self._device_resident and self.device is None:
             return self.tile_fn(tile_np)

@@ -623,6 +623,25 @@ def pads_per_group(layout: PaddedLayout) -> np.ndarray:
     return (seg - real_rows_per_group(layout)).astype(np.int32)
 
 
+def block_metadata(grp_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row-block group codes and flush flags from padded slot codes.
+
+    This is the Pallas sweep's flush contract in one place: a block's
+    histogram row is written when the NEXT block belongs to a different
+    group (or at the very end), so tail pads must carry the last group's
+    code to delay — not duplicate — its flush.  Shared by the single-chip
+    layout (:func:`prepare_hist_inputs`) and the per-shard layouts of the
+    cell-sharded mesh (:func:`illico_tpu.parallel.cells.build_cell_shard_plans`).
+    ``grp_np`` must be group-contiguous with length a multiple of the row
+    block.
+    """
+    blk_group = grp_np[::_ROW_BLOCK].astype(np.int32)
+    blk_flush = np.zeros(blk_group.size, dtype=np.int32)
+    blk_flush[-1] = 1
+    blk_flush[:-1] = (blk_group[1:] != blk_group[:-1]).astype(np.int32)
+    return blk_group, blk_flush
+
+
 def prepare_hist_inputs(
     layout: PaddedLayout, v_buckets: int, is_log1p: bool
 ) -> tuple:
@@ -641,10 +660,7 @@ def prepare_hist_inputs(
         tail_grp = grp_np[-1] if grp_np.size else np.int32(0)
         grp_np = np.concatenate([grp_np, np.full(rem, tail_grp, np.int32)])
     pad_np = perm_np < 0
-    blk_group = grp_np[::_ROW_BLOCK].astype(np.int32)
-    blk_flush = np.zeros(blk_group.size, dtype=np.int32)
-    blk_flush[-1] = 1
-    blk_flush[:-1] = (blk_group[1:] != blk_group[:-1]).astype(np.int32)
+    blk_group, blk_flush = block_metadata(grp_np)
 
     return (
         jnp.asarray(perm_np),

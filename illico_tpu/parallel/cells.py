@@ -44,9 +44,45 @@ from illico_tpu.utils.groups import GroupInfo
 __all__ = [
     "CellShardPlan",
     "make_mesh_2d",
+    "mesh_from_spec",
     "build_cell_shard_plans",
     "make_cell_sharded_hist_fn",
 ]
+
+
+def mesh_from_spec(spec, devices=None) -> Mesh | None:
+    """Mesh from a user ``devices=`` spec — the single validation point
+    shared by the public API and the multi-host layer.
+
+    ``None``/``1`` → no mesh; ``int > 1`` → 1-D gene mesh;
+    ``(cell_devices, gene_devices)`` → 2-D cells × genes mesh.  A
+    ``(1, g)`` pair performs no cell sharding, so it routes to the 1-D
+    gene mesh (engine-agnostic, no plan/psum overhead) rather than the
+    degenerate 2-D machinery.
+    """
+    from illico_tpu.parallel.mesh import make_gene_mesh
+
+    if spec is None:
+        return None
+    if isinstance(spec, (tuple, list)):
+        if len(spec) != 2:
+            raise ValueError(
+                f"devices must be an int or a (cell_devices, gene_devices) "
+                f"pair; got {spec!r}"
+            )
+        cell_dev, gene_dev = (int(v) for v in spec)
+        if cell_dev < 1 or gene_dev < 1:
+            raise ValueError(
+                f"devices axis sizes must be >= 1; got {spec!r}"
+            )
+        if cell_dev > 1:
+            return make_mesh_2d(cell_dev, gene_dev, devices=devices)
+        if gene_dev > 1:
+            return make_gene_mesh(gene_dev, devices=devices)
+        return None
+    if int(spec) > 1:
+        return make_gene_mesh(int(spec), devices=devices)
+    return None
 
 # AOT executable cache for the cell-sharded path (same role as
 # parallel/mesh._AOT_CACHE: executables shared across runners, precompile

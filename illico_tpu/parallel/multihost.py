@@ -264,15 +264,9 @@ def _run_host_window(
 
         local_devices = jax.local_devices()
     if local_mesh is not None:
-        cell_dev, gene_dev = (int(v) for v in local_mesh)
-        if cell_dev < 1 or gene_dev < 1:
-            raise ValueError(
-                f"local_mesh axis sizes must be >= 1; got {local_mesh!r}"
-            )
-        if cell_dev * gene_dev > 1:
-            from illico_tpu.parallel.cells import make_mesh_2d
+        from illico_tpu.parallel.cells import mesh_from_spec
 
-            mesh = make_mesh_2d(cell_dev, gene_dev, devices=local_devices)
+        mesh = mesh_from_spec(local_mesh, devices=local_devices)
     elif len(local_devices) > 1:
         from jax.sharding import Mesh
 
