@@ -189,10 +189,13 @@ def build_cell_shard_plans(info: GroupInfo, n_shards: int) -> CellShardPlan:
         # same convention as hist_engine.prepare_hist_inputs.
         grps[s, grp.size :] = grp[-1]
     pad_mask = perms < 0
-    blk_group = np.ascontiguousarray(grps[:, ::BLOCK]).astype(np.int32)
-    blk_flush = np.zeros_like(blk_group)
-    blk_flush[:, -1] = 1
-    blk_flush[:, :-1] = (blk_group[:, 1:] != blk_group[:, :-1]).astype(np.int32)
+    # Shared flush contract with the single-chip layout
+    # (hist_engine.block_metadata); one call per shard row.
+    from illico_tpu.ops.hist_engine import block_metadata
+
+    per_shard = [block_metadata(grps[s]) for s in range(s_count)]
+    blk_group = np.stack([g for g, _ in per_shard])
+    blk_flush = np.stack([f for _, f in per_shard])
     pads_total = np.bincount(
         grps[pad_mask], minlength=n_groups
     ).astype(np.int32)
