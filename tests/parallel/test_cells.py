@@ -357,3 +357,35 @@ def test_devices_tuple_with_unit_axes_still_runs(problem):
     df1 = asymptotic_wilcoxon_arrays(x, groups, **kw)
     df2 = asymptotic_wilcoxon_arrays(x, groups, devices=(1, 2), **kw)
     pd.testing.assert_frame_equal(df1, df2, check_exact=True)
+
+
+def test_mesh_from_spec_routing():
+    """mesh_from_spec is the single devices= validation point (api.py and
+    parallel/multihost.py both route through it): None/1/(1,1) -> no mesh,
+    int>1 and (1,g) -> 1-D gene mesh (no cell-plan/psum overhead), and
+    (c>1, g) -> 2-D cells x genes mesh."""
+    from illico_tpu.parallel.cells import mesh_from_spec
+
+    assert mesh_from_spec(None) is None
+    assert mesh_from_spec(1) is None
+    assert mesh_from_spec((1, 1)) is None
+
+    _needs(2)
+    m = mesh_from_spec(2)
+    assert tuple(m.axis_names) == ("genes",) and m.shape["genes"] == 2
+    # (1, g) performs no cell sharding: routes to the engine-agnostic
+    # 1-D gene mesh, not the degenerate 2-D machinery.
+    m = mesh_from_spec((1, 2))
+    assert tuple(m.axis_names) == ("genes",)
+    m = mesh_from_spec([1, 2])  # list spec accepted like tuple
+    assert tuple(m.axis_names) == ("genes",)
+
+    _needs(4)
+    m = mesh_from_spec((2, 2))
+    assert tuple(m.axis_names) == ("cells", "genes")
+    assert m.shape["cells"] == 2 and m.shape["genes"] == 2
+
+    with pytest.raises(ValueError, match="pair"):
+        mesh_from_spec((2, 2, 2))
+    with pytest.raises(ValueError, match=">= 1"):
+        mesh_from_spec((2, -1))
