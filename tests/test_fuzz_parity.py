@@ -117,9 +117,33 @@ def test_fuzz_soak():
             if dtype == np.float64 or is_log1p
             else rng.choice(["auto", "hist", "sort"])
         )
+        # ~1/4 of trials shard over a mesh (when the backend has the
+        # devices): 1-D gene meshes for any engine, 2-D cells x genes
+        # meshes only for combos that resolve to the histogram engine
+        # (the runner rejects cell sharding for the sort engine by
+        # design).  On a 1-device backend (the real TPU suite) this
+        # draw is inert.
+        import jax as _jax
+
+        ndev = len(_jax.devices())
+        # Both draws consumed unconditionally: the RNG stream (and thus
+        # every later draw of the trial) is identical on 1- and N-device
+        # backends, so a seed reproduces the same trial everywhere.
+        want_mesh = rng.randint(4) == 0
+        mesh_pick = int(rng.randint(4))
+        devices = None
+        if want_mesh and ndev >= 2:
+            opts: list = [2, ndev]
+            # 2-D (cell-sharded) only when the engine is known to resolve
+            # to hist: under "auto", wrapped-negative casts (e.g. lam=1500
+            # into int8) fail the integrality probe and route to sort,
+            # which rejects cell sharding by design.
+            if ndev >= 4 and engine == "hist":
+                opts += [(2, 2), (2, ndev // 2)]
+            devices = opts[mesh_pick % len(opts)]
         case = (seed, n, t, g, round(density, 3), lam, np.dtype(dtype).name,
                 fmt, mode, engine, alternative, use_continuity, tie_correct,
-                is_log1p)
+                is_log1p, devices)
         if os.environ.get("ILLICO_TPU_SOAK_VERBOSE"):
             # Unbuffered trial marker (run with -s): a hard crash (e.g. a
             # compiler segfault) identifies its seed as the last line.
@@ -141,7 +165,7 @@ def test_fuzz_soak():
         kw = dict(
             reference=ref, is_log1p=is_log1p, engine=engine,
             alternative=alternative, use_continuity=use_continuity,
-            tie_correct=tie_correct, progress=False,
+            tie_correct=tie_correct, progress=False, devices=devices,
         )
         if fmt.startswith("h5-"):
             # Streaming path: h5ad round trip read back in backed mode.
@@ -234,7 +258,10 @@ def test_fuzz_soak():
             import jax
 
             from illico_tpu.ops import hist_engine, rank_engine
+            from illico_tpu.parallel import cells, mesh
 
             hist_engine._AOT_CACHE.clear()
             rank_engine._AOT_CACHE.clear()
+            cells._AOT_CACHE.clear()
+            mesh._AOT_CACHE.clear()
             jax.clear_caches()
