@@ -370,6 +370,13 @@ def test_mesh_from_spec_routing():
     assert mesh_from_spec(1) is None
     assert mesh_from_spec((1, 1)) is None
 
+    # Spec validation raises before touching the backend — keep these above
+    # the device-count guards so they run everywhere.
+    with pytest.raises(ValueError, match="pair"):
+        mesh_from_spec((2, 2, 2))
+    with pytest.raises(ValueError, match=">= 1"):
+        mesh_from_spec((2, -1))
+
     _needs(2)
     m = mesh_from_spec(2)
     assert tuple(m.axis_names) == ("genes",) and m.shape["genes"] == 2
@@ -384,8 +391,3 @@ def test_mesh_from_spec_routing():
     m = mesh_from_spec((2, 2))
     assert tuple(m.axis_names) == ("cells", "genes")
     assert m.shape["cells"] == 2 and m.shape["genes"] == 2
-
-    with pytest.raises(ValueError, match="pair"):
-        mesh_from_spec((2, 2, 2))
-    with pytest.raises(ValueError, match=">= 1"):
-        mesh_from_spec((2, -1))

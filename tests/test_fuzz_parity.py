@@ -87,6 +87,9 @@ def test_fuzz_soak():
     """
     from test_asymptotic_wilcoxon import _no_tie_pvalues
 
+    import jax as _jax
+
+    ndev = len(_jax.devices())  # invariant for the process
     trials = int(os.environ["ILLICO_TPU_SOAK"])
     seed0 = int(os.environ.get("ILLICO_TPU_SOAK_SEED", "0"))
     for trial in range(trials):
@@ -123,9 +126,6 @@ def test_fuzz_soak():
         # (the runner rejects cell sharding for the sort engine by
         # design).  On a 1-device backend (the real TPU suite) this
         # draw is inert.
-        import jax as _jax
-
-        ndev = len(_jax.devices())
         # Both draws consumed unconditionally: the RNG stream (and thus
         # every later draw of the trial) is identical on 1- and N-device
         # backends, so a seed reproduces the same trial everywhere.
@@ -140,6 +140,11 @@ def test_fuzz_soak():
             # which rejects cell sharding by design.
             if ndev >= 4 and engine == "hist":
                 opts += [(2, 2), (2, ndev // 2)]
+            # mesh_pick is drawn from randint(4); the modulo is uniform
+            # only while len(opts) divides 4 (it is 2 or 4).  If opts ever
+            # grows an entry, redraw as rng.randint(len(opts)) instead of
+            # silently biasing toward early entries.
+            assert 4 % len(opts) == 0
             devices = opts[mesh_pick % len(opts)]
         case = (seed, n, t, g, round(density, 3), lam, np.dtype(dtype).name,
                 fmt, mode, engine, alternative, use_continuity, tie_correct,
