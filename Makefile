@@ -2,7 +2,7 @@
 # (/root/reference/tox.ini:22-85: unit-tests, speed-bench-*, memory-bench-*,
 # *-quick smoke variants).
 
-.PHONY: test test-tpu stress bench bench-quick speed-bench memory-bench bench-suite
+.PHONY: test test-tpu stress bench bench-quick speed-bench memory-bench bench-suite seed-cache
 
 test:
 	python -m pytest tests/ -q
@@ -27,3 +27,8 @@ memory-bench:     ## pytest-marked memory benchmarks
 
 bench-suite:      ## versioned JSON results into .benchmarks/
 	python benchmarks/run_benchmarks.py
+
+seed-cache:       ## harvest the live XLA compile cache into the committed seed dir
+	mkdir -p .xla_cache_seed
+	cp -n "$${ILLICO_TPU_COMPILE_CACHE:-$$HOME/.cache/illico_tpu_xla}"/*-cache .xla_cache_seed/ 2>/dev/null || true
+	@ls .xla_cache_seed | wc -l | xargs echo "seed entries:"

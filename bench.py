@@ -29,6 +29,7 @@ before the first emission):
 
 import json
 import os
+import shutil
 import signal
 import sys
 import time
@@ -161,6 +162,37 @@ def _preflight_device_probe(timeout_s: float = 150.0, reserve_s: float = 480.0):
     sys.exit(3)
 
 
+SEED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache_seed")
+
+
+def _seed_compile_cache(cache_dir: str) -> None:
+    """Copy committed compile-cache entries into the live XLA cache dir.
+
+    The dev host is recycled between rounds: ``~/.cache`` does not survive,
+    and round 3's official bench paid a 399 s cold compile because of it
+    (only git-committed state persists).  Entries are harvested from a
+    successful full-scale run (``make seed-cache``) and committed; if the
+    cache key drifts (jax upgrade, backend change) the stale seeds are
+    simply never hit and the run falls back to a cold compile.
+    """
+    try:
+        if not os.path.isdir(SEED_DIR):
+            return
+        n = 0
+        for f in os.listdir(SEED_DIR):
+            if not f.endswith("-cache"):
+                continue
+            dst = os.path.join(cache_dir, f)
+            if not os.path.exists(dst):
+                shutil.copy2(os.path.join(SEED_DIR, f), dst)
+                n += 1
+        if n:
+            print(f"# seeded {n} compile-cache entries from {SEED_DIR}",
+                  file=sys.stderr, flush=True)
+    except OSError as e:  # seeding is best-effort
+        print(f"# cache seeding skipped ({e})", file=sys.stderr, flush=True)
+
+
 def make_device_data(n_cells, n_genes, n_groups, seed=0):
     import jax
     import jax.numpy as jnp
@@ -169,16 +201,33 @@ def make_device_data(n_cells, n_genes, n_groups, seed=0):
     # (counts fit comfortably; 300k x 8k stays at 2.4 GB on a 16 GB chip).
     chunk = min(512, n_genes)
 
+    # Poisson(2) marginals via inverse-CDF lookup: same distribution as
+    # jax.random.poisson, but a 32-entry searchsorted instead of rejection
+    # sampling — the rejection path costs ~60 s of device time at this scale
+    # (measured round 4), and datagen is setup, not the benchmark.
+    lam = 2.0
+    pmf = np.exp(-lam) * np.cumprod(np.r_[1.0, lam / np.arange(1, 32)])
+    cdf = jnp.asarray(np.cumsum(pmf), dtype=jnp.float32)
+
     @jax.jit
     def gen(key):
         k1, k2 = jax.random.split(key)
-        x = jax.random.poisson(k1, 2.0, (n_cells, chunk)).astype(jnp.float32)
+        u = jax.random.uniform(k1, (n_cells, chunk), dtype=jnp.float32)
+        x = jnp.searchsorted(cdf, u, side="right").astype(jnp.int8)
         keep = jax.random.uniform(k2, (n_cells, chunk)) >= 0.9
-        return jnp.where(keep, jnp.minimum(x, 126.0), 0.0).astype(jnp.int8)
+        return jnp.where(keep, x, jnp.int8(0))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), -(-n_genes // chunk))
     X = jnp.concatenate([gen(k) for k in keys], axis=1)[:, :n_genes]
-    X.block_until_ready()
+    # block_until_ready does not actually block over this dev tunnel; a
+    # jitted-stats pull is the reliable completion point, and it pre-warms
+    # the exact executable the runner's engine-selection sampling reuses.
+    # Without this, queued datagen work drains at the first timed pull and
+    # bills to prewarm (or worse, run 1).
+    from illico_tpu.models.wilcoxon import _sampled_device_stats
+
+    w = max(1, min(24, n_genes))
+    jax.device_get(_sampled_device_stats(X, 0, w, False))
     rng = np.random.RandomState(seed)
     labels = rng.randint(1, n_groups, n_cells)
     labels[rng.rand(n_cells) < 0.1] = 0  # 'non-targeting' control ~10%
@@ -207,6 +256,41 @@ def _prewarm(X, groups, reference="non-targeting"):
     runner = WilcoxonRunner(handler, info, is_log1p=False)
     runner.precompile()
     return runner
+
+
+def _emit_wire_accounting(runner, n_groups_out: int, n_genes: int) -> None:
+    """Report result-wire bytes/test from the pack spec (VERDICT r3 item 6).
+
+    The exactness contract sets an information floor on what must cross the
+    device->host link per test; on this ~20 MB/s dev tunnel that floor — not
+    device compute — bounds the headline (BENCH_NOTES.md).  Deriving it from
+    the live pack spec turns that argument from prose into data.
+    """
+    try:
+        spec_cache = getattr(runner.tile_fn, "_spec_cache", None)
+        if not spec_cache:
+            return
+        spec = spec_cache.get(runner.tile_width)
+        if spec is None:
+            return
+        _, _, _, off, nbytes = spec[-1]
+        per_tile = off + nbytes
+        total = per_tile * len(runner.bounds)
+        n_tests = n_groups_out * n_genes
+        print(json.dumps({
+            "metric": "result_wire_bytes_per_test",
+            "value": round(total / n_tests, 3),
+            "unit": "B",
+            "vs_baseline": None,
+        }), flush=True)
+        print(f"# wire: {per_tile} B/tile x {len(runner.bounds)} tiles = "
+              f"{total / 1e6:.1f} MB for {n_tests} tests "
+              f"(~{total / 20e6:.1f}s at 20 MB/s tunnel, "
+              f"~{total / 10e9 * 1e3:.1f} ms at 10 GB/s PCIe)",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # accounting must never break the bench
+        print(f"# wire accounting skipped ({type(e).__name__}: {e})",
+              file=sys.stderr, flush=True)
 
 
 def emit(best: float, metric="k562_scale_ovo_dense_seconds",
@@ -260,7 +344,7 @@ def main():
 
     from illico_tpu import asymptotic_wilcoxon_arrays, enable_compilation_cache
 
-    enable_compilation_cache()
+    _seed_compile_cache(enable_compilation_cache())
     t0 = time.perf_counter()
     X, groups = make_device_data(n_cells, n_genes, n_groups)
     gen_s = time.perf_counter() - t0
@@ -268,9 +352,10 @@ def main():
           f"phase budget {phase_budget}s)", file=sys.stderr, flush=True)
     _phase_alarm()  # re-arm: prewarm gets its own (clamped) budget
     t0 = time.perf_counter()
-    _prewarm(X, groups)
+    runner = _prewarm(X, groups)
     warm_s = time.perf_counter() - t0
     signal.alarm(0)
+    _emit_wire_accounting(runner, len(np.unique(groups)), X.shape[1])
     print(
         f"# setup: data gen {gen_s:.1f}s, prewarm {warm_s:.1f}s, "
         f"elapsed since process group start {_elapsed():.0f}s",

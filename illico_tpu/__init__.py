@@ -19,7 +19,7 @@ __all__ = [
     "asymptotic_wilcoxon_multihost",
     "enable_compilation_cache",
 ]
-__version__ = "0.1.6"
+__version__ = "0.1.7"
 
 
 def __getattr__(name):
@@ -52,6 +52,10 @@ def enable_compilation_cache(path: str | None = None) -> str:
         )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist EVERYTHING: the threshold compares XLA's own compile time,
+    # but over a remote-compile link even a "0.1 s" executable costs tens
+    # of seconds of RPC wall-clock per process (measured round 4) — tiny
+    # executables are exactly the ones worth caching here.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path
