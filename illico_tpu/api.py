@@ -65,7 +65,11 @@ def asymptotic_wilcoxon(
     (:mod:`illico_tpu.parallel.cells`).
     ``engine`` selects the device kernel: ``"hist"`` (histogram contraction,
     the fast path for integer-count / log1p data, with automatic per-column
-    fallback), ``"sort"`` (general comparison-sort engine), or ``"auto"``.
+    fallback), ``"sort"`` (general full-column comparison-sort engine),
+    ``"csort"`` (compact sort: ranks only the nonzeros of sparse-enough
+    host-resident data — normalized/scaled floats included — and adds the
+    zero block analytically), or ``"auto"`` (hist for tabulable counts,
+    csort for sparse non-tabulable host data, sort otherwise).
 
     Returns a DataFrame indexed by (pert, feature) with columns
     ``p_value``, ``statistic`` (U of the reference sample, exact), and

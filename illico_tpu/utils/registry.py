@@ -91,6 +91,28 @@ class DataHandler(ABC):
     def validate(self) -> None:
         """Input invariant checks; raise ValueError on violation."""
 
+    def density(self) -> float | None:
+        """Fraction of nonzero entries, or None when unknown.
+
+        Sparse containers know it exactly; dense/backed handlers return
+        None and the runner estimates it from its value sample.  Drives the
+        compact-sort-engine routing only — never exactness.
+        """
+        return None
+
+    def fetch_tile_entries(self, lb: int, ub: int):
+        """Nonzero entries ``(values, rows, cols)`` of columns [lb, ub).
+
+        ``cols`` are tile-relative (0-based at ``lb``); entry order is
+        arbitrary (the compact tiler lexsorts).  The default extracts from
+        the dense tile; sparse handlers override with O(window nnz) paths
+        that never materialize zeros (the reference reads sparse storage
+        natively for the same reason, ``utils/sparse/csr.py:144-196``).
+        """
+        tile = self.fetch_tile(lb, ub)
+        r, c = np.nonzero(tile)
+        return tile[r, c], r, c
+
     def fetch_columns(self, idx) -> "np.ndarray":
         """Dense (n_cells, len(idx)) gather of arbitrary columns (rare path,
         used for histogram-overflow fallbacks).
@@ -166,6 +188,21 @@ class CSRDataHandler(DataHandler):
         d = self.data
         return d.data.nbytes + d.indices.nbytes + d.indptr.nbytes
 
+    def density(self):
+        return float(self.data.nnz) / max(
+            1, int(self.data.shape[0]) * int(self.data.shape[1])
+        )
+
+    def fetch_tile_entries(self, lb, ub):
+        # Row-major window: rows from run-lengths, columns rebased to the
+        # tile (scipy's column slice binary-searches sorted indices — the
+        # reference's csr_get_contig_cols optimization).
+        sub = self.data[:, lb:ub]
+        rows = np.repeat(
+            np.arange(sub.shape[0], dtype=np.int64), np.diff(sub.indptr)
+        )
+        return sub.data, rows, sub.indices.astype(np.int64)
+
     def validate(self):
         indices, indptr = self.data.indices, self.data.indptr
         if indices.size:
@@ -210,6 +247,19 @@ class CSCDataHandler(DataHandler):
     def footprint(self):
         d = self.data
         return d.data.nbytes + d.indices.nbytes + d.indptr.nbytes
+
+    def density(self):
+        return float(self.data.nnz) / max(
+            1, int(self.data.shape[0]) * int(self.data.shape[1])
+        )
+
+    def fetch_tile_entries(self, lb, ub):
+        # Column-major window: O(window nnz), no densification.
+        sub = self.data[:, lb:ub]
+        cols = np.repeat(
+            np.arange(sub.shape[1], dtype=np.int64), np.diff(sub.indptr)
+        )
+        return sub.data, sub.indices.astype(np.int64), cols
 
 
 def _register_h5py():

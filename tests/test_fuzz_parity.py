@@ -115,11 +115,16 @@ def test_fuzz_soak():
         use_continuity = bool(rng.randint(2))
         tie_correct = bool(rng.randint(2))
         is_log1p = bool(rng.randint(4) == 0)
-        engine = str(
-            rng.choice(["auto", "sort"])
+        eng_opts = (
+            ["auto", "sort"]
             if dtype == np.float64 or is_log1p
-            else rng.choice(["auto", "hist", "sort"])
+            else ["auto", "hist", "sort"]
         )
+        if fmt != "device":
+            # the compact tier is host-resident-only; forcing it on dense
+            # high-density draws is deliberate (slower, still exact)
+            eng_opts.append("csort")
+        engine = str(rng.choice(eng_opts))
         # ~1/4 of trials shard over a mesh (when the backend has the
         # devices): 1-D gene meshes for any engine, 2-D cells x genes
         # meshes only for combos that resolve to the histogram engine
@@ -132,7 +137,7 @@ def test_fuzz_soak():
         want_mesh = rng.randint(4) == 0
         mesh_pick = int(rng.randint(4))
         devices = None
-        if want_mesh and ndev >= 2:
+        if want_mesh and ndev >= 2 and engine != "csort":
             opts: list = [2, ndev]
             # 2-D (cell-sharded) only when the engine is known to resolve
             # to hist: under "auto", wrapped-negative casts (e.g. lam=1500
