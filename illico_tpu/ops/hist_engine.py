@@ -38,6 +38,7 @@ integer counts, so the histogram algebra is exact there too.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +47,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from illico_tpu.ops.rank_engine import BLOCK, PaddedLayout
+from illico_tpu.utils.log import logger
 
 __all__ = ["grouped_histograms", "hist_pass", "hist_contract", "make_hist_tile_fn", "DEFAULT_V"]
 
 DEFAULT_V = 128  # table covers integer values 0..V-1; V must be a multiple of 8
+MAX_V = 512  # largest value table (_pick_v_buckets); counts >= MAX_V - 1 overflow
 _ROW_BLOCK = BLOCK  # row blocks align with the group padding granularity
 
 # The Pallas sweep accumulates counts in float32: a single (group, value)
@@ -58,12 +61,13 @@ _ROW_BLOCK = BLOCK  # row blocks align with the group padding granularity
 HIST_EXACT_MAX_GROUP = 2**24
 
 # The packed wire transports float64 statistics through an int64 word split
-# (:func:`_split_hi_lo_words`), which is value-faithful only below 2**63.
-# Every float64-wire statistic (tie_col = sum c^3 - c, tie_ref_col, wide
-# tie_seg) is bounded by n_total**3, so datasets must stay below
-# (2**63)**(1/3) = 2**21 total cells; larger ones take the sort engine
-# (enforced here and in the runner's auto selection).
-HIST_MAX_TOTAL_CELLS = 2**21
+# (:func:`_split_hi_lo_words`), value-faithful only below 2**63 — tie sums
+# (bounded by n_total**3) exceed that past 2**21 total cells.  Such
+# statistics take the triple-float32 "f96" tier instead
+# (:func:`_split_f32_triple`), which carries the accumulated float64 value
+# bit-faithfully at any magnitude, so the histogram engine has no
+# total-cell bound (round-3 VERDICT item 4; the historical
+# HIST_MAX_TOTAL_CELLS = 2**21 demotion to the sort engine is retired).
 
 
 # Rows fetched per grid step.  Group segments are padded to _ROW_BLOCK rows;
@@ -223,15 +227,17 @@ def hist_pass(
 
 
 # Wire-order rank by bytes-per-element: keep every block's start aligned to
-# its word size.  8- and 4-byte encodings first; the 6-byte split-f64
-# encoding next (its uint32 block needs 4-byte alignment, which 8/4-byte
-# predecessors guarantee, and an even element count keeps 4-byte alignment
-# behind it); the 5-byte split-f64 next (uint32 block + uint8 block; element
-# counts divisible by 4 keep 4-byte alignment); the 3-byte split-u32 next
-# (uint16 block + uint8 block; even element counts keep 2-byte alignment);
-# 2-byte and single-byte entries last.  build_pack_spec enforces the element
-# count requirements (trivially met by the (G, 128k) arrays involved).
-_WIRE_RANK = {8: 0, 4: 1, 6: 2, 5: 3, 3: 4, 2: 5, 1: 6}
+# its word size.  The 12-byte triple-float32 encoding first (three 4-byte
+# blocks, any element count keeps 4-byte alignment); 8- and 4-byte encodings
+# next; the 6-byte split-f64 encoding next (its uint32 block needs 4-byte
+# alignment, which 12/8/4-byte predecessors guarantee, and an even element
+# count keeps 4-byte alignment behind it); the 5-byte split-f64 next (uint32
+# block + uint8 block; element counts divisible by 4 keep 4-byte alignment);
+# the 3-byte split-u32 next (uint16 block + uint8 block; even element counts
+# keep 2-byte alignment); 2-byte and single-byte entries last.
+# build_pack_spec enforces the element count requirements (trivially met by
+# the (G, 128k) arrays involved).
+_WIRE_RANK = {12: -1, 8: 0, 4: 1, 6: 2, 5: 3, 3: 4, 2: 5, 1: 6}
 
 # Element-count divisibility required to keep every later block aligned.
 _WIRE_COUNT_ALIGN = {6: 2, 5: 4, 3: 2}
@@ -256,7 +262,7 @@ def _wire_bytes(key, dtype: np.dtype, narrow) -> int:
         return 1
     wb = _narrow_bytes(key, dtype, narrow)
     if wb is not None:
-        if dtype.itemsize == 8 and wb in (5, 6):
+        if dtype.itemsize == 8 and wb in (5, 6, 12):
             return wb
         if dtype == np.uint32 and wb == 3:
             return 3
@@ -266,6 +272,32 @@ def _wire_bytes(key, dtype: np.dtype, narrow) -> int:
     return dtype.itemsize
 
 
+def _split_f32_triple(v):
+    """(x1, x2, x3) float32 expansion of a float64 array: v == x1+x2+x3.
+
+    Standard Dekker-style expansion: with round-to-nearest, ``v - fl32(v)``
+    is exactly representable in float64 (the leading ~24 bits cancel), so
+    each residual is exact and the triple carries ``24*3 = 72`` mantissa
+    bits — every float64 value round-trips BIT-FAITHFULLY, integers and
+    fractions alike, for 0 and magnitudes in ~[2**-78, 2**128) — below
+    that the residuals underflow f32 and the error is bounded by ~1e-38
+    ABSOLUTE (still far inside every tolerance here).  Every statistic
+    shipped on this tier is a nonnegative sum bounded by n**3 < 2**93, and
+    meaningfully nonzero sums of expression values sit far above 2**-78,
+    so the restriction never binds in practice.  This is the transport
+    for statistics the int64 word split cannot carry: non-integer float64
+    (csort fc sums) and tie sums beyond 2**63 (datasets past 2**21 cells,
+    round-3 VERDICT item 4).  Host reconstruction: ``(x3 + x2) + x1`` in
+    float64 — each partial sum is exact (disjoint exponent ranges), so the
+    result is exactly ``v``.
+    """
+    x1 = v.astype(jnp.float32)
+    r1 = v - x1.astype(jnp.float64)
+    x2 = r1.astype(jnp.float32)
+    x3 = (r1 - x2.astype(jnp.float64)).astype(jnp.float32)
+    return x1, x2, x3
+
+
 def _split_hi_lo_words(v):
     """(hi, lo) 32-bit word split of non-negative integer-valued float64.
 
@@ -273,8 +305,9 @@ def _split_hi_lo_words(v):
     host-side ``hi * 2**32 + lo`` reconstruction) round-trips any
     integer-valued float64 below **2**63** bit-faithfully; at or above 2**63
     the cast overflows and the decoded value is garbage — callers must bound
-    their statistics below 2**63 (``HIST_MAX_TOTAL_CELLS`` enforces the
-    n**3 tie-sum bound).  Below 2**53 the value is additionally the *exact*
+    their statistics below 2**63, or ship them on the f96 triple tier
+    (:func:`_split_f32_triple`), which has no such bound.  Below 2**53 the
+    value is additionally the *exact*
     integer statistic; between 2**53 and 2**63 it is the float64-rounded
     sum, transported faithfully (same rounding class as the reference's
     float64 accumulation, ``utils/math.py:64-118``).  The obvious
@@ -318,7 +351,12 @@ def pack_device_outputs(out: dict, narrow=frozenset()):
         if dtype == np.bool_:
             v = v.astype(jnp.uint8)
         wb = _wire_bytes(k, dtype, narrow)
-        if dtype.itemsize == 8 and wb in (5, 6):
+        if dtype.itemsize == 8 and wb == 12:
+            b = jnp.concatenate([
+                jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+                for x in _split_f32_triple(v)
+            ])
+        elif dtype.itemsize == 8 and wb in (5, 6):
             hi, lo = _split_hi_lo_words(v)
             hi_words = (
                 hi.astype(jnp.uint8)
@@ -394,6 +432,11 @@ def unpack_host_buffer(buf, spec) -> dict:
         size = int(np.prod(shape)) if shape else 1
         if dtype == np.bool_:
             out[k] = (v != 0).reshape(shape)
+        elif dtype.itemsize == 8 and nbytes == 12 * size:
+            x1 = v[: 4 * size].view(np.float32).astype(np.float64)
+            x2 = v[4 * size : 8 * size].view(np.float32).astype(np.float64)
+            x3 = v[8 * size :].view(np.float32).astype(np.float64)
+            out[k] = ((x3 + x2) + x1).astype(dtype).reshape(shape)
         elif dtype.itemsize == 8 and nbytes == 6 * size:
             lo = v[: 4 * size].view(np.uint32)
             hi = v[4 * size :].view(np.uint16)
@@ -443,6 +486,7 @@ def _pick_exact_dtype(bound: float) -> str:
 
 _DTYPE_WIRE_BYTES = {
     "uint16": 2, "uint24": 3, "int32": 4, "u40": 5, "f48": 6, "float64": 8,
+    "f96": 12,
 }
 
 
@@ -452,6 +496,10 @@ def _pick_split_dtype(bound: float) -> str:
     Extends :func:`_pick_exact_dtype` with "u40" (uint32 lo + uint8 hi,
     5 bytes) and "f48" (uint32 lo + uint16 hi, 6 bytes): OVO tie increments
     and OVR rank sums routinely exceed int32 but sit far below 2**48.
+    Bounds at or past 2**63 — tie sums of >2**21-cell datasets — take the
+    triple-float32 "f96" tier (12 bytes), which transports the accumulated
+    float64 value bit-faithfully at any magnitude (the int64 word split
+    cannot, see :func:`_split_hi_lo_words`).
     """
     d = _pick_exact_dtype(bound)
     if d != "float64":
@@ -460,7 +508,9 @@ def _pick_split_dtype(bound: float) -> str:
         return "u40"
     if bound < 2.0**48:
         return "f48"
-    return "float64"
+    if bound < 2.0**63:
+        return "float64"
+    return "f96"
 
 
 _pick_tie_dtype = _pick_split_dtype  # historical alias
@@ -470,10 +520,14 @@ def _narrow_map(statics: dict) -> dict:
     """Wire-narrowing map (key -> wire bytes) implied by contract statics."""
     narrow = {}
     tie_wb = _DTYPE_WIRE_BYTES[statics.get("tie_dtype", "float64")]
-    if statics["ref_code"] != -1 and tie_wb in (3, 5, 6):
+    if statics["ref_code"] != -1 and tie_wb in (3, 5, 6, 12):
         narrow["tie_seg"] = tie_wb
+    # Per-column tie scalars (tie_col / tie_ref_col) exceed the int64 word
+    # split past 2**63: ship the f96 triple there (negligible bytes, (T,)).
+    if _DTYPE_WIRE_BYTES[statics.get("tiecol_dtype", "float64")] == 12:
+        narrow["tie_col" if statics["ref_code"] == -1 else "tie_ref_col"] = 12
     u2_wb = _DTYPE_WIRE_BYTES[statics["u2_dtype"]]
-    if u2_wb in (3, 5, 6):
+    if u2_wb in (3, 5, 6, 12):
         narrow["R2" if statics["ref_code"] == -1 else "U2"] = u2_wb
     if statics["fc_dtype"] == "uint24" and statics.get("compute_fc", True):
         narrow["fc_sums"] = 3
@@ -491,6 +545,7 @@ def hist_contract(
     u2_dtype: str = "float64",
     fc_dtype: str = "float64",
     tie_dtype: str = "float64",
+    tiecol_dtype: str = "float64",
     fc_split_code: int = -1,
     u2_split_code: int = -1,
     pack: bool = False,
@@ -522,8 +577,11 @@ def hist_contract(
     so each tile's results cross the link as a single transfer."""
     h = hist.astype(jnp.float64)  # (G, V, T)
     out = {}
-    # "uint24"/"u40"/"f48" are wire encodings, not device dtypes.
-    _dev = {"uint24": "uint32", "u40": "float64", "f48": "float64"}
+    # "uint24"/"u40"/"f48"/"f96" are wire encodings, not device dtypes.
+    _dev = {
+        "uint24": "uint32", "u40": "float64", "f48": "float64",
+        "f96": "float64",
+    }
     u2_dev = _dev.get(u2_dtype, u2_dtype)
     fc_dev = _dev.get(fc_dtype, fc_dtype)
     tie_dev = _dev.get(tie_dtype, tie_dtype)
@@ -577,7 +635,8 @@ def hist_contract(
     if pack:
         narrow = _narrow_map(dict(
             ref_code=ref_code, u2_dtype=u2_dtype, fc_dtype=fc_dtype,
-            tie_dtype=tie_dtype, compute_fc=compute_fc,
+            tie_dtype=tie_dtype, tiecol_dtype=tiecol_dtype,
+            compute_fc=compute_fc,
         ))
         return pack_device_outputs(out, narrow)[0]
     return out
@@ -593,7 +652,7 @@ _jitted_hist_contract = jax.jit(
     hist_contract,
     static_argnames=(
         "n_pad", "ref_code", "is_log1p", "compute_fc", "u2_dtype", "fc_dtype",
-        "tie_dtype", "fc_split_code", "u2_split_code", "pack",
+        "tie_dtype", "tiecol_dtype", "fc_split_code", "u2_split_code", "pack",
     ),
 )
 
@@ -689,10 +748,11 @@ def hist_stat_bounds(
 def validate_hist_layout(layout: PaddedLayout, *, packed_wire: bool = True):
     """Reject layouts the histogram engine cannot serve exactly.
 
-    ``packed_wire=False`` (the mesh path, which transfers plain arrays)
-    drops the total-cell bound: that bound protects the packed wire's
-    float64 word split, not the contraction itself — unpacked tie sums past
-    2**53 merely round at ~1e-16 relative, far inside the p-value contract.
+    ``packed_wire`` is accepted for signature stability but no longer
+    gates anything: tie statistics past the int64 word split's 2**63 bound
+    ship on the f96 triple tier (``hist_contract_statics``), so tall
+    datasets are served on both the packed single-chip wire and the plain
+    mesh arrays.
     """
     real_check = real_rows_per_group(layout)
     if real_check.size and real_check.max() >= HIST_EXACT_MAX_GROUP:
@@ -700,17 +760,6 @@ def validate_hist_layout(layout: PaddedLayout, *, packed_wire: bool = True):
             f"Histogram engine requires every group below {HIST_EXACT_MAX_GROUP} "
             f"cells for exact f32 bucket counts (largest group: "
             f"{int(real_check.max())}); use engine='sort'."
-        )
-    if packed_wire and int(real_check.sum()) >= HIST_MAX_TOTAL_CELLS:
-        # Tie sums scale as n_total**3 and travel the packed wire through
-        # a float64 -> int64 word split that is faithful only below 2**63
-        # (see _split_hi_lo_words); past this bound both unpack paths would
-        # silently reconstruct wrong tie sums and corrupt p-values.
-        raise ValueError(
-            f"Histogram engine requires fewer than {HIST_MAX_TOTAL_CELLS} "
-            f"total cells (got {int(real_check.sum())}): tie statistics are "
-            "bounded by n_total**3 and the packed wire's float64 word split "
-            "is only faithful below 2**63; use engine='sort'."
         )
     if real_check.size and real_check.min() == 0:
         # The Pallas sweep only flushes rows for groups present in the
@@ -743,6 +792,18 @@ def hist_contract_statics(
     u2_bound, fc_bound = hist_stat_bounds(layout, ref_code, v_buckets)
     real = real_rows_per_group(layout).astype(np.float64)
     pick = _pick_split_dtype if wire else _pick_exact_dtype
+    # Per-column tie scalars: bounded by n**3 (OVR tie_col) / n_ref**3 (OVO
+    # tie_ref_col).  Past 2**63 the packed wire needs the f96 triple; this
+    # is what lets >2**21-cell datasets stay on the histogram engine
+    # (round-3 VERDICT item 4).
+    n_total = real.sum()
+    tiecol_bound = (
+        n_total**3 if ref_code == -1 or real.size == 0
+        else real[ref_code] ** 3
+    )
+    tiecol_dtype = (
+        "f96" if wire and tiecol_bound >= 2.0**63 else "float64"
+    )
     if ref_code == -1 or real.size == 0:
         tie_dtype = "float64"  # OVR has no per-(group, column) tie array
     else:
@@ -799,6 +860,7 @@ def hist_contract_statics(
         u2_dtype=u2_dtype,
         fc_dtype=fc_dtype,
         tie_dtype=tie_dtype,
+        tiecol_dtype=tiecol_dtype,
         fc_split_code=fc_split_code,
         u2_split_code=u2_split_code,
     )
@@ -899,13 +961,16 @@ def make_hist_tile_fn(
         )
         cached = _AOT_CACHE.get(key)
         if cached is None:
+            t0 = time.perf_counter()
             with jax.enable_x64(False):
                 p_low = _jitted_hist_pass.lower(
                     jax.ShapeDtypeStruct(tuple(shape), dtype),
                     *(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in pass_args),
                     **pass_statics,
                 )
+                t1 = time.perf_counter()
                 p_exe = p_low.compile()
+            t2 = time.perf_counter()
             hist_spec = jax.ShapeDtypeStruct(
                 (layout.n_groups, table.shape[0], shape[1] + (-shape[1]) % 128),
                 jnp.float32,
@@ -917,7 +982,13 @@ def make_hist_tile_fn(
                     pack=True,
                     **contract_statics,
                 )
+                t3 = time.perf_counter()
                 c_exe = c_low.compile()
+            logger.trace(
+                "hist AOT: pass lower %.1fs compile %.1fs; "
+                "contract lower %.1fs compile %.1fs",
+                t1 - t0, t2 - t1, t3 - t2, time.perf_counter() - t3,
+            )
             cached = (p_exe, c_exe)
             _AOT_CACHE[key] = cached
         _spec_for(shape[1])
@@ -942,6 +1013,7 @@ def make_hist_tile_fn(
     run._counters = counters
     run._layout_args = pass_args
     run._statics = {**pass_statics, **contract_statics}
+    run._spec_cache = spec_cache  # t_cols -> pack spec (wire accounting)
     run.precompile = precompile
     run.unpack = unpack
     run.find_spec = find_spec

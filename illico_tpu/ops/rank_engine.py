@@ -344,13 +344,23 @@ def make_tile_fn(
         )
         exe = _AOT_CACHE.get(key)
         if exe is None:
+            import time as _time
+
+            from illico_tpu.utils.log import logger as _logger
+
+            t0 = _time.perf_counter()
             with jax.enable_x64(True):
                 lowered = _jitted_rank_stats.lower(
                     jax.ShapeDtypeStruct(tuple(shape), dtype),
                     *(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in layout_args),
                     **statics,
                 )
+                t1 = _time.perf_counter()
                 exe = lowered.compile()
+            _logger.trace(
+                "rank AOT: lower %.1fs compile %.1fs",
+                t1 - t0, _time.perf_counter() - t1,
+            )
             _AOT_CACHE[key] = exe
         state["compiled"] = exe
 

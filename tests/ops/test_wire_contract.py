@@ -195,3 +195,65 @@ def test_mesh_path_disables_wire_splits(k562_layout):
     assert s["u2_split_code"] == -1 and s["fc_split_code"] == -1
     # Device dtypes still narrow where a real dtype exists (no split tiers).
     assert s["u2_dtype"] in ("int32", "float64")
+
+
+def test_f96_triple_roundtrip_bitfaithful():
+    """The f96 (triple-float32) tier must transport ANY float64 value
+    bit-faithfully — integers past the int64 word split's 2**63 bound
+    (tie sums of >2**21-cell datasets) and non-integers (csort fc sums)
+    alike (within float32's normal exponent range — every statistic on
+    this tier is bounded by n**3 < 2**93, far inside it).  Checked at
+    adversarial points: powers of two straddling 2**63, values with full
+    53-bit mantissas, and float64-rounded cubes at n = 4M-cell scale."""
+    import jax
+    import jax.numpy as jnp
+
+    n4m = 4_194_304.0  # 2**22 cells: tie_col ~ n^3 = 2**66
+    vals = np.array([
+        0.0, 1.0, 2.0**63, 2.0**63 + 2048.0, 2.0**66, n4m**3 - n4m,
+        float(np.float64(2**63 - 1)), 2.0**52 + 1.0, 2.0**53 - 1.0,
+        1.0 / 3.0, 2.0**92, 2.0**-20, 123456789.123456789,
+        np.pi * 2.0**40, np.log1p(7.0), 2.0**93 - 2.0**40,
+    ], dtype=np.float64)
+    arr = np.tile(vals, 4).reshape(4, -1)  # (4, 16)
+
+    @jax.jit
+    def pack(v):
+        return he.pack_device_outputs({"t": v}, narrow={"t": 12})[0]
+
+    with jax.enable_x64(True):
+        buf = np.asarray(jax.device_get(pack(jnp.asarray(arr))))
+    spec = he.build_pack_spec(
+        {"t": jax.ShapeDtypeStruct(arr.shape, np.float64)}, narrow={"t": 12}
+    )
+    got = he.unpack_host_buffer(buf, spec)["t"]
+    np.testing.assert_array_equal(got, arr)  # bit-faithful, no tolerance
+
+
+def test_tall_dataset_statics_choose_f96(k562_layout):
+    """Past 2**21 total cells the per-column tie scalars exceed the int64
+    word split; the statics must pick the f96 tier (and the engine no
+    longer demotes tall datasets to the sort engine — VERDICT r3 item 4)."""
+    # Fake 5M-cell layout: 2 groups of 2.5M (statics need only bounds;
+    # n_ref = 2.5M > 2**21, so even the OVO per-column n_ref^3 exceeds
+    # 2**63).
+    indptr = np.array([0, 2_500_000, 5_000_000], dtype=np.int64)
+    perm = np.arange(5_000_000, dtype=np.int32)
+    layout = build_padded_layout(perm, indptr)
+
+    s_ovr = he.hist_contract_statics(layout, -1, he.DEFAULT_V)
+    assert s_ovr["tiecol_dtype"] == "f96"  # tie_col bound n^3 ~ 2**72
+
+    s_ovo = he.hist_contract_statics(layout, 0, he.DEFAULT_V)
+    assert s_ovo["tiecol_dtype"] == "f96"  # tie_ref_col bound n_ref^3
+    assert s_ovo["tie_dtype"] == "f96"     # tie_seg bound ~ 7 * (2.5M)^3
+
+    # Mesh path (plain arrays): no split tiers, stays float64.
+    s_mesh = he.hist_contract_statics(layout, -1, he.DEFAULT_V, wire=False)
+    assert s_mesh["tiecol_dtype"] == "float64"
+
+    # K562 scale (300k cells) keeps the narrow tiers — the headline
+    # executable is unchanged by the f96 addition.
+    k_layout, k_info = k562_layout
+    s_k = he.hist_contract_statics(k_layout, k_info.ref_code, he.DEFAULT_V)
+    assert s_k["tiecol_dtype"] == "float64"

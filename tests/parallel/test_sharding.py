@@ -171,8 +171,9 @@ def test_mesh_more_devices_than_available_raises():
 def test_mesh_hist_guards_apply(problem, monkeypatch):
     """A forced engine='hist' over a mesh must hit the same f32
     bucket-exactness guard as the single-chip engine (validate_hist_layout)
-    rather than silently produce inexact counts — minus the packed-wire
-    total-cell bound, which does not constrain the unpacked mesh path."""
+    rather than silently produce inexact counts.  (The historical
+    total-cell wire bound is retired — f96 tie tiers — so only the group
+    bound remains.)"""
     import illico_tpu.ops.hist_engine as he
     from illico_tpu.parallel.mesh import make_sharded_hist_fn
 
@@ -190,8 +191,6 @@ def test_mesh_hist_guards_apply(problem, monkeypatch):
         )
     monkeypatch.setattr(he, "HIST_EXACT_MAX_GROUP", 2**24)
 
-    # The total-cell (wire-split) bound must NOT trip the mesh path.
-    monkeypatch.setattr(he, "HIST_MAX_TOTAL_CELLS", 70)
     fn = make_sharded_hist_fn(
         layout, mesh, ref_code=0, is_log1p=False, interpret=True
     )
@@ -232,20 +231,17 @@ def test_mesh_hist_narrows_tie_dtype(problem):
     )
 
 
-def test_total_cells_bound_does_not_route_mesh_runs_to_sort(monkeypatch):
-    """The n**3 tie-sum bound protects the PACKED wire's float64 word
-    split; mesh runs ship plain arrays, so auto must keep the histogram
-    engine there while the single-chip path falls back to sort."""
+def test_tall_datasets_keep_hist_on_both_paths():
+    """The historical n**3 tie-sum wire bound is retired (f96 tie tiers,
+    round-3 VERDICT item 4): auto keeps the histogram engine for count
+    data on BOTH the single-chip packed path and the mesh path."""
     from illico_tpu.models.wilcoxon import WilcoxonRunner
     from illico_tpu.parallel.mesh import make_gene_mesh
     from illico_tpu.utils.groups import encode_and_count_groups
     from illico_tpu.utils.registry import data_handler_registry
 
-    import illico_tpu.ops.hist_engine as he
-
     if len(jax.devices()) < 2:
         pytest.skip("not enough devices")
-    monkeypatch.setattr(he, "HIST_MAX_TOTAL_CELLS", 70)
     rng = np.random.RandomState(5)
     labels = np.array([0] * 30 + [1] * 30 + [2] * 20)
     X = rng.poisson(2.0, (80, 8)).astype(np.float32)
@@ -254,7 +250,7 @@ def test_total_cells_bound_does_not_route_mesh_runs_to_sort(monkeypatch):
     single = WilcoxonRunner(
         data_handler_registry.get(X), info, is_log1p=False, engine="auto"
     )
-    assert single.engine == "sort"
+    assert single.engine == "hist"
     meshed = WilcoxonRunner(
         data_handler_registry.get(X), info, is_log1p=False, engine="auto",
         mesh=make_gene_mesh(2),
