@@ -82,6 +82,25 @@ def main():
         ("ovo-hist-heavytail", x_heavy, groups_heavy, "hist", "non-targeting")
     )
 
+    # Normalized-data tier (round-3 VERDICT item 2): scanpy-style
+    # normalize_total + log1p floats on sparse host input.  csort (the
+    # compact nonzero-only sort engine, auto's pick for this data) is
+    # benchmarked against the full-column sort engine it replaces; input
+    # is host-resident CSR by design — compaction happens on the host
+    # tiler, and the compacted wire ships ~density x the dense bytes.
+    import scipy.sparse as sp
+
+    xn, groups_n = _data(n, t, g)
+    xn = xn.astype(np.float64)
+    totals = np.maximum(xn.sum(axis=1, keepdims=True), 1.0)
+    xn = np.log1p(xn / totals * 1e4).astype(np.float32)
+    xn_csr = sp.csr_matrix(xn)
+    configs.append(("ovr-csort-normalized", xn_csr, groups_n, "auto", None))
+    configs.append(
+        ("ovo-csort-normalized", xn_csr, groups_n, "auto", "non-targeting")
+    )
+    configs.append(("ovr-sort-normalized", xn_csr, groups_n, "sort", None))
+
     payload = {
         "version": illico_tpu.__version__,
         "backend": jax.default_backend(),
@@ -127,6 +146,23 @@ def main():
         tmp.write_text(json.dumps(payload, indent=2))
         tmp.replace(out)
 
+    # Full-scale headline configs (round-3 VERDICT item 7): the
+    # 300k x 8000 x 2000 OVO and OVR runs bench.py reports, reproducible
+    # from the versioned suite alone.  Device-resident, TPU only (the CPU
+    # backend would spend minutes per run), appended last so the smaller
+    # configs are always on record first under a bounded budget.
+    if on_tpu and not args.quick:
+        import bench as _bench
+
+        x_full, groups_full = _bench.make_device_data(
+            _bench.N_CELLS, _bench.N_GENES, _bench.N_GROUPS
+        )
+        configs.append(
+            ("ovo-hist-fullscale", x_full, groups_full, "auto",
+             "non-targeting")
+        )
+        configs.append(("ovr-hist-fullscale", x_full, groups_full, "auto", None))
+
     for name, xx, gg, engine, ref in configs:
         if name in measured:
             print(f"# {name}: kept from previous attempt", file=sys.stderr)
@@ -134,6 +170,8 @@ def main():
         kw = dict(
             reference=ref, engine=engine, batch_size=512, progress=False
         )
+        if name.endswith("fullscale"):
+            kw["batch_size"] = "auto"  # the headline's 2048-wide tiles
         asymptotic_wilcoxon_arrays(xx, gg, **kw)  # warm-up/compile
         times = []
         for _ in range(args.runs):

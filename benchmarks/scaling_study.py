@@ -116,24 +116,51 @@ def _time_device_compute(fn, x, runs, inner, fence_s):
 
 
 def _point(n_cells, n_groups, width, engine, runs, inner, fence_s):
+    import jax
+
     from illico_tpu.ops.rank_engine import build_padded_layout, make_tile_fn
 
     x, info = _make_problem(n_cells, n_groups, width)
     layout = build_padded_layout(info.perm, info.indptr)
+    m_pad = None
     if engine == "hist":
-        import jax
-
         from illico_tpu.ops.hist_engine import make_hist_tile_fn
 
         fn = make_hist_tile_fn(
             layout, ref_code=info.ref_code, is_log1p=False,
             interpret=jax.default_backend() != "tpu",
         )
+    elif engine == "csort":
+        # Compact tier: measure the DEVICE side only — build the compacted
+        # tile on host once, stage its arrays in HBM, and drive the jit
+        # path with committed device arrays (no per-execution transfers).
+        from illico_tpu.ops.csort_engine import (
+            compact_from_entries,
+            make_csort_tile_fn,
+        )
+
+        xh = np.asarray(jax.device_get(x))
+        r, c = np.nonzero(xh)
+        tile = compact_from_entries(
+            xh[r, c], r, c, width, info.encoded_groups, info.n_groups,
+        )
+        m_pad = int(tile.vals.shape[0])
+        csort_fn = make_csort_tile_fn(
+            info, ref_code=info.ref_code, is_log1p=False
+        )
+        x = {
+            "vals": jax.device_put(tile.vals),
+            "grp": jax.device_put(tile.grp),
+            "indptr": jax.device_put(tile.indptr),
+        }
+
+        def fn(t):
+            return csort_fn(t)
     else:
         fn = make_tile_fn(layout, ref_code=info.ref_code, is_log1p=False)
     dt = _time_device_compute(fn, x, runs, inner, fence_s)
     n_tests = (info.n_groups - 1) * width
-    return {
+    rec = {
         "engine": engine,
         "n_cells": n_cells,
         "n_groups": n_groups,
@@ -141,6 +168,9 @@ def _point(n_cells, n_groups, width, engine, runs, inner, fence_s):
         "device_s": round(dt, 5),
         "tests_per_s": round(n_tests / dt, 1),
     }
+    if m_pad is not None:
+        rec["m_pad"] = m_pad  # compacted rows actually sorted (~10% of n)
+    return rec
 
 
 def main():
@@ -149,8 +179,8 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=None)
     ap.add_argument(
-        "--engines", default="hist,sort",
-        help="comma-separated subset of hist,sort",
+        "--engines", default="hist,sort,csort",
+        help="comma-separated subset of hist,sort,csort",
     )
     ap.add_argument(
         "--cpu", action="store_true",
