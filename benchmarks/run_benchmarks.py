@@ -163,6 +163,22 @@ def main():
         )
         configs.append(("ovr-hist-fullscale", x_full, groups_full, "auto", None))
 
+    # Per-config watchdog: the remote compile service hangs outright in
+    # bad phases (observed round 4: 36+ min inside one config's warm-up
+    # compile with no progress), and a hung config would otherwise eat the
+    # whole harness budget.  SIGALRM -> exception -> the fresh-process
+    # retry resumes from the saved configs on a new compile terminal.
+    import signal as _signal
+
+    class _ConfigHang(RuntimeError):
+        pass
+
+    def _on_alarm(signum, frame):
+        raise _ConfigHang("per-config watchdog expired")
+
+    _signal.signal(_signal.SIGALRM, _on_alarm)
+    attempt = int(_os.environ.get("ILLICO_SUITE_ATTEMPT", "0"))
+
     for name, xx, gg, engine, ref in configs:
         if name in measured:
             print(f"# {name}: kept from previous attempt", file=sys.stderr)
@@ -172,14 +188,19 @@ def main():
         )
         if name.endswith("fullscale"):
             kw["batch_size"] = "auto"  # the headline's 2048-wide tiles
+        # Cold compiles are minutes; escalate with the retry attempt.
+        _signal.alarm((900 if on_tpu else 600) + 600 * attempt)
         asymptotic_wilcoxon_arrays(xx, gg, **kw)  # warm-up/compile
+        _signal.alarm(0)
         times = []
         for _ in range(args.runs):
             if on_tpu:
                 time.sleep(60)  # refill the tunnel's credit-limited burst
+            _signal.alarm(600)  # warm runs: generous hang guard only
             t0 = time.perf_counter()
             asymptotic_wilcoxon_arrays(xx, gg, **kw)
             times.append(time.perf_counter() - t0)
+            _signal.alarm(0)
         rec = {
             "name": name,
             "min_s": round(min(times), 4),

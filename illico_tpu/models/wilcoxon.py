@@ -455,6 +455,7 @@ class WilcoxonRunner:
                 ref_code=group_info.ref_code,
                 is_log1p=self.is_log1p,
                 device=self.device,
+                pack=True,  # single-buffer result wire (0.1.7)
             )
         logger.trace(
             "Engine %s, tile width %d for %d genes (%d tiles).",
@@ -788,7 +789,7 @@ class WilcoxonRunner:
         """
         sort_fn = make_tile_fn(
             self.layout, ref_code=self.info.ref_code, is_log1p=self.is_log1p,
-            device=self.device,
+            device=self.device, pack=True,
         )
         fw = self._FALLBACK_WIDTH
         chunks = [cols[s : s + fw] for s in range(0, cols.size, fw)]
@@ -822,7 +823,9 @@ class WilcoxonRunner:
 
             def pull_one():
                 chunk, out = pending.popleft()
-                consume_stats(chunk, jax.device_get(out))
+                consume_stats(
+                    chunk, sort_fn.unpack(np.asarray(jax.device_get(out)))
+                )
 
             for i, chunk in enumerate(chunks):
                 tile = futures.pop(i).result()

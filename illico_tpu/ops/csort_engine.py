@@ -255,6 +255,75 @@ def _narrow_for(
     return narrow
 
 
+def rank_output_abstract(
+    t_cols: int, g_rows: int, ref_code: int, compute_fc: bool,
+    narrow_statics: dict,
+) -> dict:
+    """Abstract shapes/dtypes of the rank-stats output contract.
+
+    Shared by the compact and full sort engines' pack-spec builders: the
+    output contract (R2/tie_col OVR; U2/tie_seg/tie_ref_col OVO; fc_sums)
+    is identical, and the device dtype of each array follows the wire
+    tier ("int32" is a real device cast; split/f96 tiers stay float64).
+    """
+    f64 = np.float64
+    dev = {"int32": np.int32}
+    out = {}
+    if compute_fc:
+        out["fc_sums"] = jax.ShapeDtypeStruct((g_rows, t_cols), f64)
+    u2d = dev.get(narrow_statics["u2_dtype"], f64)
+    if ref_code == -1:
+        out["R2"] = jax.ShapeDtypeStruct((g_rows, t_cols), u2d)
+        out["tie_col"] = jax.ShapeDtypeStruct((t_cols,), f64)
+    else:
+        out["U2"] = jax.ShapeDtypeStruct((g_rows, t_cols), u2d)
+        out["tie_seg"] = jax.ShapeDtypeStruct(
+            (g_rows, t_cols), dev.get(narrow_statics["tie_dtype"], f64)
+        )
+        out["tie_ref_col"] = jax.ShapeDtypeStruct((t_cols,), f64)
+    return out
+
+
+def make_rank_unpackers(g_rows: int, ref_code: int, compute_fc: bool,
+                        narrow_statics: dict):
+    """(spec_cache, _spec_for, find_spec, unpack) for a rank-contract
+    engine's packed wire, keyed by tile width."""
+    from illico_tpu.ops.hist_engine import build_pack_spec, unpack_host_buffer
+
+    spec_cache: dict = {}
+
+    def _spec_for(t_cols: int):
+        if t_cols not in spec_cache:
+            spec_cache[t_cols] = build_pack_spec(
+                rank_output_abstract(
+                    t_cols, g_rows, ref_code, compute_fc, narrow_statics
+                ),
+                _narrow_for(t_cols, g_rows, narrow_statics, ref_code,
+                            compute_fc),
+            )
+        return spec_cache[t_cols]
+
+    def find_spec(buf_size: int) -> dict | None:
+        for spec in spec_cache.values():
+            _, _, _, off, nbytes = spec[-1]
+            if off + nbytes == buf_size:
+                return {k: (s, d, o, n) for (k, s, d, o, n) in spec}
+        return None
+
+    def unpack(buf) -> dict:
+        buf = np.asarray(buf)
+        for spec in spec_cache.values():
+            _, _, _, off, nbytes = spec[-1]
+            if off + nbytes == buf.size:
+                return unpack_host_buffer(buf, spec)
+        raise ValueError(
+            f"No pack spec matches buffer of {buf.size} bytes; "
+            "call the tile function (or precompile) first."
+        )
+
+    return spec_cache, _spec_for, find_spec, unpack
+
+
 def csort_stats_tile(
     vals,
     grp,
@@ -463,8 +532,6 @@ def make_csort_tile_fn(
     are cached per (M, T) bucket; ``precompile(tile)`` warms the cache for
     a representative tile's shape.
     """
-    from illico_tpu.ops.hist_engine import build_pack_spec
-
     # int32 survives x64-off staging untouched (a float64 put would be
     # canonicalized to float32 outside an enable_x64 context); the kernel
     # widens to float64 at trace time.
@@ -484,55 +551,9 @@ def make_csort_tile_fn(
     counters = {"aot": 0, "jit": 0}
 
     g_rows = int(group_info.n_groups)
-
-    def _abstract_out(t_cols: int) -> dict:
-        f64 = np.float64
-        dev = {"int32": np.int32}
-        out = {}
-        if compute_fc:
-            out["fc_sums"] = jax.ShapeDtypeStruct((g_rows, t_cols), f64)
-        u2d = dev.get(narrow_statics["u2_dtype"], f64)
-        if ref_code == -1:
-            out["R2"] = jax.ShapeDtypeStruct((g_rows, t_cols), u2d)
-            out["tie_col"] = jax.ShapeDtypeStruct((t_cols,), f64)
-        else:
-            out["U2"] = jax.ShapeDtypeStruct((g_rows, t_cols), u2d)
-            out["tie_seg"] = jax.ShapeDtypeStruct(
-                (g_rows, t_cols), dev.get(narrow_statics["tie_dtype"], f64)
-            )
-            out["tie_ref_col"] = jax.ShapeDtypeStruct((t_cols,), f64)
-        return out
-
-    spec_cache: dict = {}
-
-    def _spec_for(t_cols: int):
-        if t_cols not in spec_cache:
-            spec_cache[t_cols] = build_pack_spec(
-                _abstract_out(t_cols),
-                _narrow_for(t_cols, g_rows, narrow_statics,
-                            int(ref_code), compute_fc),
-            )
-        return spec_cache[t_cols]
-
-    def find_spec(buf_size: int) -> dict | None:
-        for spec in spec_cache.values():
-            _, _, _, off, nbytes = spec[-1]
-            if off + nbytes == buf_size:
-                return {k: (s, d, o, n) for (k, s, d, o, n) in spec}
-        return None
-
-    def unpack(buf) -> dict:
-        from illico_tpu.ops.hist_engine import unpack_host_buffer
-
-        buf = np.asarray(buf)
-        for spec in spec_cache.values():
-            _, _, _, off, nbytes = spec[-1]
-            if off + nbytes == buf.size:
-                return unpack_host_buffer(buf, spec)
-        raise ValueError(
-            f"No pack spec matches buffer of {buf.size} bytes; "
-            "call the tile function (or precompile) first."
-        )
+    spec_cache, _spec_for, find_spec, unpack = make_rank_unpackers(
+        g_rows, int(ref_code), compute_fc, narrow_statics
+    )
 
     def _aot_for(m_pad: int, t_cols: int, vdtype, gdtype, idtype):
         cache_key = (

@@ -291,6 +291,43 @@ def rank_stats_tile(
     return out
 
 
+def _packed_rank_stats(
+    x_raw, perm, grp, pad_mask, block_starts, block_ends,
+    *,
+    ref_code: int,
+    is_log1p: bool,
+    compute_fc: bool,
+    u2_dtype: str,
+    tie_dtype: str,
+    narrow_items: tuple,
+):
+    """rank_stats_tile + the single-buffer packed wire.
+
+    A separate jitted entry so the plain (dict) graph — and its persistent
+    cache entries — stay untouched.  OVO reference self-rows are zeroed
+    (the consumer writes sentinels there), which is what makes the narrow
+    wire tiers' bounds — computed over the NON-reference groups — sound,
+    exactly as in the histogram and compact engines.
+    """
+    out = rank_stats_tile(
+        x_raw, perm, grp, pad_mask, block_starts, block_ends,
+        ref_code=ref_code, is_log1p=is_log1p, compute_fc=compute_fc,
+    )
+    dev = {"int32": jnp.int32}
+    if ref_code != -1:
+        out["U2"] = out["U2"].at[ref_code].set(0.0).astype(
+            dev.get(u2_dtype, jnp.float64)
+        )
+        out["tie_seg"] = out["tie_seg"].at[ref_code].set(0.0).astype(
+            dev.get(tie_dtype, jnp.float64)
+        )
+    else:
+        out["R2"] = out["R2"].astype(dev.get(u2_dtype, jnp.float64))
+    from illico_tpu.ops.hist_engine import pack_device_outputs
+
+    return pack_device_outputs(out, dict(narrow_items))[0]
+
+
 # Single process-wide jit cache: every runner with the same shapes and static
 # flags reuses one executable (the reference avoids redundant numba compiles
 # the same way via its signature-keyed dispatcher, ``utils/compile.py:14-17``).
@@ -298,6 +335,13 @@ def rank_stats_tile(
 # global x64 flag (and Pallas kernels elsewhere must trace without x64).
 _jitted_rank_stats = jax.jit(
     rank_stats_tile, static_argnames=("ref_code", "is_log1p", "compute_fc")
+)
+_jitted_packed_rank_stats = jax.jit(
+    _packed_rank_stats,
+    static_argnames=(
+        "ref_code", "is_log1p", "compute_fc",
+        "u2_dtype", "tie_dtype", "narrow_items",
+    ),
 )
 
 # Process-wide AOT executable cache, keyed by shapes/dtypes/statics — the
@@ -312,11 +356,17 @@ def make_tile_fn(
     is_log1p: bool,
     compute_fc: bool = True,
     device=None,
+    pack: bool = False,
 ):
     """Return a tile function with the layout baked in as device arrays.
 
     ``device`` commits the layout arrays to a specific device (default:
-    jax's default device)."""
+    jax's default device).  ``pack=True`` returns the single-buffer packed
+    wire per tile (``run.unpack`` inverts it) with the same bound-proven
+    narrow tiers as the compact engine — a separate jitted entry, so
+    unpacked callers' executables (and persistent-cache entries) are
+    untouched.
+    """
     put = (lambda a: jax.device_put(a, device)) if device is not None else jnp.asarray
     perm = put(layout.perm)
     grp = put(layout.grp)
@@ -329,18 +379,56 @@ def make_tile_fn(
     )
     state = {"compiled": None}
 
+    find_spec = unpack = None
+    spec_cache = None
+    if pack:
+        # Narrow tiers + spec/unpack machinery shared with the compact
+        # engine (identical output contract; counts from the layout).
+        from illico_tpu.ops.csort_engine import (
+            _narrow_for,
+            csort_narrow_statics,
+            make_rank_unpackers,
+        )
+        from illico_tpu.ops.hist_engine import real_rows_per_group
+
+        narrow_statics = csort_narrow_statics(
+            real_rows_per_group(layout), int(ref_code)
+        )
+        spec_cache, _spec_for, find_spec, unpack = make_rank_unpackers(
+            layout.n_groups, int(ref_code), compute_fc, narrow_statics
+        )
+
+        def _pack_statics(t_cols: int) -> dict:
+            _spec_for(t_cols)
+            narrow = _narrow_for(
+                t_cols, layout.n_groups, narrow_statics, int(ref_code),
+                compute_fc,
+            )
+            return dict(
+                **statics,
+                u2_dtype=narrow_statics["u2_dtype"],
+                tie_dtype=narrow_statics["tie_dtype"],
+                narrow_items=tuple(sorted(narrow.items())),
+            )
+
+    def _fn_and_statics(t_cols: int):
+        if pack:
+            return _jitted_packed_rank_stats, _pack_statics(t_cols)
+        return _jitted_rank_stats, statics
+
     def precompile(shape, dtype, device=None) -> None:
+        fn, st = _fn_and_statics(int(shape[1]))
         if device is not None:
             # AOT lowering pins the default device; warm the jit cache with
             # an argument committed to the target instead.
             x = jax.device_put(np.zeros(tuple(shape), dtype), device)
             with jax.enable_x64(True):
-                jax.device_get(_jitted_rank_stats(x, *layout_args, **statics))
+                jax.device_get(fn(x, *layout_args, **st))
             return
         key = (
             (tuple(shape), str(dtype)),
             tuple((tuple(a.shape), str(a.dtype)) for a in layout_args),
-            tuple(sorted(statics.items())),
+            tuple(sorted((k, v) for k, v in st.items())),
         )
         exe = _AOT_CACHE.get(key)
         if exe is None:
@@ -350,10 +438,10 @@ def make_tile_fn(
 
             t0 = _time.perf_counter()
             with jax.enable_x64(True):
-                lowered = _jitted_rank_stats.lower(
+                lowered = fn.lower(
                     jax.ShapeDtypeStruct(tuple(shape), dtype),
                     *(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in layout_args),
-                    **statics,
+                    **st,
                 )
                 t1 = _time.perf_counter()
                 exe = lowered.compile()
@@ -371,12 +459,17 @@ def make_tile_fn(
             counters["aot"] += 1
             return state["compiled"](x_raw, *layout_args)
         counters["jit"] += 1
+        fn, st = _fn_and_statics(int(x_raw.shape[1]))
         with jax.enable_x64(True):
-            return _jitted_rank_stats(x_raw, *layout_args, **statics)
+            return fn(x_raw, *layout_args, **st)
 
     run._counters = counters
     run._jitted = _jitted_rank_stats
     run._layout_args = layout_args
     run._statics = statics
+    run._spec_cache = spec_cache
     run.precompile = precompile
+    if pack:
+        run.unpack = unpack
+        run.find_spec = find_spec
     return run
