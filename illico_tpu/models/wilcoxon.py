@@ -479,7 +479,10 @@ class WilcoxonRunner:
         (``utils/memory.host_tile_budget``), the analog of the reference's
         published host high-watermark (``README.md:188-225``).
         """
-        wide_cap = 2048 if self.engine == "hist" else 512
+        # csort tiles hold only nonzeros (~density x the dense bytes), so
+        # they afford wider widths than the full sort's 512 — wider tiles
+        # amortize the per-transfer latency and the host compaction setup.
+        wide_cap = {"hist": 2048, "csort": 1024}.get(self.engine, 512)
         if not self._device_resident:
             from illico_tpu.utils.memory import host_tile_budget
 
