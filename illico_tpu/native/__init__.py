@@ -167,28 +167,43 @@ def _bind(path: Path):
 
 # dtype encodings of illico_consume_tile (keep in sync with _tail.cpp)
 (_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64, _DT_U16, _DT_F48, _DT_U24,
- _DT_U32, _DT_U40) = range(9)
+ _DT_U32, _DT_U40, _DT_F96) = range(10)
 
 
 def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: int):
-    """(pointer, dtype code) for one packed-buffer region."""
+    """(pointer, dtype code) for one packed-buffer region.
+
+    Raises ValueError for encodings this build does not know — callers
+    fall back to the numpy consume path.  (Round-4 regression: an
+    unrecognized 12-byte f96 block silently fell through to the hi/lo
+    decode and corrupted every tie statistic of >2**21-cell datasets.)
+    """
     ptr = buf.ctypes.data + off
     size = int(np.prod(shape)) if shape else 1
-    if dtype == np.float32:
+    if dtype == np.float32 and nbytes == 4 * size:
         return ptr, _DT_F32
-    if dtype == np.int32:
+    if dtype == np.int32 and nbytes == 4 * size:
         return ptr, _DT_I32
-    if dtype == np.uint16:
+    if dtype == np.uint16 and nbytes == 2 * size:
         return ptr, _DT_U16
     if dtype == np.uint32:
-        return ptr, _DT_U24 if nbytes == 3 * size else _DT_U32
+        if nbytes == 3 * size:
+            return ptr, _DT_U24
+        if nbytes == 4 * size:
+            return ptr, _DT_U32
     if dtype == np.float64:
         if nbytes == 6 * size:
             return ptr, _DT_F48
         if nbytes == 5 * size:
             return ptr, _DT_U40
-        return ptr, _DT_F64_HILO
-    raise ValueError(f"unsupported packed dtype {dtype}")
+        if nbytes == 12 * size:
+            return ptr, _DT_F96
+        if nbytes == 8 * size:
+            return ptr, _DT_F64_HILO
+    raise ValueError(
+        f"unsupported packed encoding: dtype {dtype}, {nbytes} bytes for "
+        f"{size} elements"
+    )
 
 
 def consume_tile_native(

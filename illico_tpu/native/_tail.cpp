@@ -107,6 +107,11 @@ void illico_pvalue_tail(
 //   dtype 7: plain uint32
 //   dtype 8: float64 < 2^40 packed as a uint32 lo block followed by a
 //            uint8 hi block (5 bytes per value)
+//   dtype 9: float64 of ANY magnitude/sign packed as three uint32 word
+//            blocks (mantissa lo, mantissa hi, biased exponent with the
+//            sign in bit 31): value = sign * (hi*2^32 + lo) * 2^(e-53),
+//            e = (exp & 0x7fffffff) - 2048.  Bit-faithful ("f96" tier:
+//            tie sums past 2^63, non-integer csort fc sums)
 //   dtype 3: plain float64
 
 namespace {
@@ -143,6 +148,17 @@ inline double decode(const void* p, int32_t dtype, int64_t idx, int64_t n) {
       const uint8_t* hi = reinterpret_cast<const uint8_t*>(lo + n);
       return static_cast<double>(hi[idx]) * 4294967296.0 +
              static_cast<double>(lo[idx]);
+    }
+    case 9: {
+      const uint32_t* lo = static_cast<const uint32_t*>(p);
+      const uint32_t* hi = lo + n;
+      const uint32_t* ew = hi + n;
+      const double m = static_cast<double>(hi[idx]) * 4294967296.0 +
+                       static_cast<double>(lo[idx]);
+      const int e =
+          static_cast<int>(ew[idx] & 0x7fffffffu) - 2048 - 53;
+      const double v = std::ldexp(m, e);
+      return (ew[idx] >> 31) ? -v : v;
     }
     default:
       return static_cast<const double*>(p)[idx];

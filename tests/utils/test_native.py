@@ -262,3 +262,80 @@ def test_native_decode_at_split_word_boundaries_ovr():
     np.testing.assert_array_equal(results[..., 1], U)
     np.testing.assert_array_equal(results[..., 2], fc)
     np.testing.assert_allclose(results[..., 0], p, rtol=1e-12, atol=0.0)
+
+
+def test_native_decode_f96_tier_ovo():
+    """The f96 (mantissa/exponent triple-word) tier carries tie statistics
+    past the int64 word split's 2**63 bound and signed non-integer fc
+    sums.  Round-4 regression: the native encoder silently mapped unknown
+    12-byte float64 blocks to the hi/lo decode, corrupting every tie
+    statistic of >2**21-cell datasets — caught on hardware by a 4M-cell
+    probe.  Drive the C++ decode with values straddling 2**63, full
+    53-bit mantissas, fractions and signs, against the same ground truth
+    as the numpy path."""
+    if not native.native_available():
+        pytest.skip("no C++ toolchain for the native tail")
+    import jax
+    import jax.numpy as jnp
+
+    from illico_tpu.native import consume_tile_native
+    from illico_tpu.ops import hist_engine as he
+    from illico_tpu.stats import fold_change_from_summed_expr, pvalues_from_stats
+
+    G, T = 3, 4
+    counts = np.array([3_000_000.0, 900_000.0, 600_000.0])
+    ref_code = 0
+    u2 = np.array([
+        [0, 2, 4, 6],
+        [2**24 - 1, 2**24 - 2, 2**16, 2],
+        [1, 3, 2**24 - 1, 0],
+    ], np.float64)
+    n4m = 4_194_304.0
+    tie_seg = np.array([
+        [0.0, 2.0**63, 2.0**63 + 2048.0, 2.0**66],
+        [n4m**3 - n4m, 2.0**64 + 4096.0, 1.0, 2.0**70],
+        [2.0**63 - 1.0, 12345.0, 2.0**52 + 1.0, 3.0],
+    ], np.float64)
+    tie_ref_col = np.array([2.0**64, 2.0**63 - 2.0, 0.0, 2.0**66 + 2.0**20])
+    fc_sums = np.array([  # f96 also carries sign + fractions (csort fc)
+        [65535.25, 0.0, -1.5, 1.0 / 3.0],
+        [3.0, -65535.75, 123456789.123456789, 5.0],
+        [6.5, 7.0, 2.0**53 - 1.0, -8.25],
+    ], np.float64)
+    out = {
+        "U2": jnp.asarray(u2, jnp.uint32),
+        "tie_seg": jnp.asarray(tie_seg, jnp.float64),
+        "tie_ref_col": jnp.asarray(tie_ref_col, jnp.float64),
+        "fc_sums": jnp.asarray(fc_sums, jnp.float64),
+        "overflow_cols": jnp.zeros(T, jnp.bool_),
+    }
+    narrow = {"U2": 3, "tie_seg": 12, "tie_ref_col": 12, "fc_sums": 12}
+    with jax.enable_x64(True):
+        buf, spec = he.pack_device_outputs(out, narrow)
+        buf = np.ascontiguousarray(np.asarray(jax.device_get(buf)))
+
+    # numpy decode is the reference for the wire itself
+    got = he.unpack_host_buffer(buf, spec)
+    np.testing.assert_array_equal(got["tie_seg"], tie_seg)
+    np.testing.assert_array_equal(got["fc_sums"], fc_sums)
+    np.testing.assert_array_equal(got["tie_ref_col"], tie_ref_col)
+
+    results = np.full((G, T, 3), np.nan)
+    ok = consume_tile_native(
+        buf, _spec_dict(spec), counts, ref_code, T,
+        "two-sided", True, True, results, 0,
+    )
+    assert ok, "native consume unavailable for the crafted spec"
+
+    n_ref = counts[ref_code]
+    n_tgt = counts[:, None]
+    U = n_ref * n_tgt - u2 / 2.0
+    tie = tie_ref_col[None] + tie_seg
+    p = pvalues_from_stats(
+        U, tie, np.full((G, 1), n_ref), n_tgt,
+        use_continuity=True, tie_correct=True, alternative="two-sided",
+    )
+    fc = fold_change_from_summed_expr(fc_sums, counts, ref_code)
+    np.testing.assert_array_equal(results[..., 1], U)
+    np.testing.assert_array_equal(results[..., 2], fc)
+    np.testing.assert_allclose(results[..., 0], p, rtol=1e-12, atol=0.0)
