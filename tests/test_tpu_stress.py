@@ -179,5 +179,5 @@ def test_randomized_tpu_stress():
                 assert got["statistic"] == rr.statistic, ("tall", ref, gr, j)
                 assert abs(got["p_value"] - rr.pvalue) <= 1e-12 * rr.pvalue
                 n_checked += 1
-    print("tall-f96 trial: n=2400000 t=16 ovo+ovr OK", flush=True)
+    print(f"tall-f96 trial: n={n} t={t} ovo+ovr OK", flush=True)
     print(f"STRESS PASS: {n_checked} checks in {time.time()-t_start:.0f}s")
