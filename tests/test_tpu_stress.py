@@ -10,8 +10,8 @@ contract (U bit-equal, p within 1e-12) on sampled (group, gene) cells.
 Covers the narrow wire-encoding tiers, the adaptive value table, the
 narrow input-wire storage dtypes (int8/uint16/float16), and the
 sort-engine overflow fallback (lam=200 exceeds the largest table) on the
-actual hardware. Last full pass: 16 trials + the deterministic R2-split
-trial / 88 checks on v5e, 9 trials on narrow wire dtypes.
+actual hardware. Last full pass (round 4): 16 trials + the deterministic
+R2-split and tall-f96 (3M-cell) trials / 96 checks on v5e.
 """
 
 import os
