@@ -975,6 +975,7 @@ class WilcoxonRunner:
         find_spec = getattr(self.tile_fn, "find_spec", None)
         alt_ok = self.alternative in ("two-sided", "greater", "less")
         consume_path = {"native": 0, "numpy": 0}
+        self._consume_path = consume_path  # diagnostics / tests
 
         def consume(lb, ub, out):
             w_cols = ub - lb

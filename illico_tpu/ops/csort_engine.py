@@ -274,7 +274,7 @@ def rank_output_abstract(
     """
     f64 = np.float64
     dev = {"int32": np.int32}
-    out = {}
+    out = {"overflow_cols": jax.ShapeDtypeStruct((t_cols,), np.bool_)}
     if compute_fc:
         out["fc_sums"] = jax.ShapeDtypeStruct((g_rows, t_cols), f64)
     u2d = dev.get(narrow_statics["u2_dtype"], f64)
@@ -499,6 +499,11 @@ def csort_stats_tile(
     if pack:
         from illico_tpu.ops.hist_engine import pack_device_outputs
 
+        # csort is exact for every value — no overflow is possible — but
+        # carrying the (all-False) flag column lets the fused native C++
+        # consumer engage on this wire too (it keys on the flag's
+        # presence), at one byte per column.
+        out["overflow_cols"] = jnp.zeros((t_cols,), jnp.bool_)
         narrow = _narrow_for(
             t_cols, indptr.shape[0] - 1,
             dict(u2_dtype=u2_dtype, tie_dtype=tie_dtype,

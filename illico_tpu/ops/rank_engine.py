@@ -323,6 +323,9 @@ def _packed_rank_stats(
         )
     else:
         out["R2"] = out["R2"].astype(dev.get(u2_dtype, jnp.float64))
+    # Exact engine, no overflow possible — the (all-False) flag column is
+    # carried so the fused native C++ consumer engages on this wire too.
+    out["overflow_cols"] = jnp.zeros((x_raw.shape[1],), jnp.bool_)
     from illico_tpu.ops.hist_engine import pack_device_outputs
 
     return pack_device_outputs(out, dict(narrow_items))[0]

@@ -185,6 +185,9 @@ def test_csort_packed_wire_roundtrip(mode):
     buf = np.asarray(packed_fn(tile))
     assert buf.dtype == np.uint8 and buf.ndim == 1
     got = packed_fn.unpack(buf)
+    # packed wire additionally carries the (all-False) overflow flag so
+    # the native consumer engages
+    assert not got.pop("overflow_cols").any()
     assert set(got) == set(plain)
     for k in got:
         np.testing.assert_array_equal(
@@ -235,6 +238,7 @@ def test_csort_packed_wire_odd_width_alignment():
     packed_fn = make_csort_tile_fn(info, ref_code=info.ref_code,
                                    is_log1p=False)
     got = packed_fn.unpack(np.asarray(packed_fn(tile)))
+    assert not got.pop("overflow_cols").any()
     for k in plain:
         np.testing.assert_array_equal(
             np.asarray(got[k], np.float64), np.asarray(plain[k], np.float64),

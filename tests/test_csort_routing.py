@@ -130,3 +130,49 @@ def test_csort_ovo_api_parity_sample():
             got = df.loc[(gname, f"gene_{j}")]
             assert got["statistic"] == res.statistic
             assert abs(got["p_value"] - res.pvalue) <= 1e-12 * res.pvalue
+
+
+def test_native_tail_engages_for_packed_rank_wires(monkeypatch):
+    """The csort and full-sort packed wires carry an (all-False) overflow
+    flag purely so the fused native C++ tail engages; its results must be
+    bit-identical to the numpy tail on the same wire."""
+    import illico_tpu.native as native
+
+    if not native.native_available():
+        pytest.skip("no C++ toolchain for the native tail")
+    from illico_tpu import asymptotic_wilcoxon_arrays
+
+    rng = np.random.RandomState(21)
+    xn, labels = _normalized(rng, n=500, t=300)
+    X = sp.csr_matrix(xn)
+
+    def run_pair(engine, ref):
+        handler = data_handler_registry.get(X)
+        _, info = encode_and_count_groups(labels, ref)
+        r = WilcoxonRunner(handler, info, is_log1p=False, engine=engine,
+                           batch_size=128)
+        res = r.run(progress=False)
+        native_tiles = r._consume_path["native"]
+        monkeypatch.setattr(native, "_LIB", None)
+        monkeypatch.setattr(native, "_TRIED", True)
+        r2 = WilcoxonRunner(handler, info, is_log1p=False, engine=engine,
+                            batch_size=128)
+        res2 = r2.run(progress=False)
+        monkeypatch.undo()
+        assert r2._consume_path["native"] == 0
+        return res, res2, native_tiles, len(r.bounds)
+
+    for engine in ("csort", "sort"):
+        for ref in (None, "0"):
+            res, res2, n_native, n_tiles = run_pair(engine, ref)
+            assert n_native == n_tiles, (engine, ref)
+            # U and fc are exact; p may differ in the last bit (the C and
+            # numpy tails associate a few float64 ops differently on this
+            # wire) — 2.2e-16 relative, far inside the 1e-12 contract.
+            np.testing.assert_array_equal(res.statistics, res2.statistics,
+                                          err_msg=f"{engine}/{ref}")
+            np.testing.assert_array_equal(res.fold_change, res2.fold_change,
+                                          err_msg=f"{engine}/{ref}")
+            np.testing.assert_allclose(res.pvalues, res2.pvalues,
+                                       rtol=5e-15, atol=0.0,
+                                       err_msg=f"{engine}/{ref}")
