@@ -221,13 +221,22 @@ def test_f96_triple_roundtrip_bitfaithful():
     def pack(v):
         return he.pack_device_outputs({"t": v}, narrow={"t": 12})[0]
 
+    @jax.jit
+    def ident(v):
+        return v + 0.0
+
     with jax.enable_x64(True):
         buf = np.asarray(jax.device_get(pack(jnp.asarray(arr))))
+        # The faithfulness contract is to the value the DEVICE holds: under
+        # TPU's x64 emulation float64 is a float32 pair (~48-49 effective
+        # bits), so values like 1/3 are rounded before the wire ever sees
+        # them.  On real-f64 backends this equals ``arr`` bit-for-bit.
+        want = np.asarray(jax.device_get(ident(jnp.asarray(arr))))
     spec = he.build_pack_spec(
         {"t": jax.ShapeDtypeStruct(arr.shape, np.float64)}, narrow={"t": 12}
     )
     got = he.unpack_host_buffer(buf, spec)["t"]
-    np.testing.assert_array_equal(got, arr)  # bit-faithful, no tolerance
+    np.testing.assert_array_equal(got, want)  # bit-faithful, no tolerance
 
 
 def test_tall_dataset_statics_choose_f96(k562_layout):

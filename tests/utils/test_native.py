@@ -310,9 +310,22 @@ def test_native_decode_f96_tier_ovo():
         "overflow_cols": jnp.zeros(T, jnp.bool_),
     }
     narrow = {"U2": 3, "tie_seg": 12, "tie_ref_col": 12, "fc_sums": 12}
+
+    @jax.jit
+    def ident(v):
+        return v + 0.0
+
     with jax.enable_x64(True):
         buf, spec = he.pack_device_outputs(out, narrow)
         buf = np.ascontiguousarray(np.asarray(jax.device_get(buf)))
+        # Faithfulness is to the DEVICE's value: TPU's x64 emulation stores
+        # float64 as a float32 pair, so non-dyadic fractions round before
+        # the wire sees them (equal to the originals on real-f64 backends).
+        tie_seg = np.asarray(jax.device_get(ident(jnp.asarray(tie_seg))))
+        tie_ref_col = np.asarray(
+            jax.device_get(ident(jnp.asarray(tie_ref_col)))
+        )
+        fc_sums = np.asarray(jax.device_get(ident(jnp.asarray(fc_sums))))
 
     # numpy decode is the reference for the wire itself
     got = he.unpack_host_buffer(buf, spec)
