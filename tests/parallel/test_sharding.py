@@ -49,7 +49,7 @@ def test_sharded_matches_single_device(problem, test, n_devices):
         np.testing.assert_array_equal(got[k], expected[k])
 
 
-@pytest.mark.parametrize("engine", ["hist", "sort"])
+@pytest.mark.parametrize("engine", ["hist", "sort", "csort"])
 @pytest.mark.parametrize("reference", [0, None], ids=["ovo", "ovr"])
 def test_public_api_multichip_matches_single(problem, engine, reference):
     """asymptotic_wilcoxon(devices=8) == single-device, bit for bit."""
@@ -120,7 +120,7 @@ def test_mesh_hist_width_realigns_to_128_per_shard(problem):
     pd.testing.assert_frame_equal(df1, df8)
 
 
-@pytest.mark.parametrize("engine", ["hist", "sort"])
+@pytest.mark.parametrize("engine", ["hist", "sort", "csort"])
 @pytest.mark.parametrize("reference", [0, None], ids=["ovo", "ovr"])
 def test_mesh_precompile_aot_no_dispatch(problem, engine, reference):
     """Mesh precompile AOT-lowers with zero real dispatch, the run serves

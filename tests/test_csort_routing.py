@@ -67,10 +67,31 @@ def test_high_count_data_never_pays_a_hist_pass():
     x[rng.rand(n, t) >= 0.4] = 0
     r = _runner(sp.csr_matrix(x), labels)
     assert r.engine == "csort"
-    # moderately-above-table maxima still favor hist (+ per-column fallback)
+    # Mid-band maxima (~900, table 512): every column would overflow the
+    # largest table and pay hist sweep + sort fallback — the
+    # overflow-fraction routing must send these to the rank path up front
+    # (round-4 VERDICT item 5), even though max < 4 * MAX_V.
     x2 = np.minimum(x, 900.0)
     r2 = _runner(sp.csr_matrix(x2), labels)
-    assert r2.engine == "hist"
+    assert r2._sampled_overflow_frac is not None
+    assert r2._sampled_overflow_frac > 0.9
+    assert r2.engine == "csort"
+
+
+def test_few_overflow_columns_keep_the_histogram_engine():
+    # A handful of high-count columns in otherwise tabulable data: the
+    # overflow fraction is small, so hist (+ per-column fallback for just
+    # those columns) stays the cheaper plan.
+    rng = np.random.RandomState(13)
+    n, t, g = 500, 30, 4
+    labels = rng.randint(0, g, n).astype(str)
+    x = rng.poisson(3.0, (n, t)).astype(np.float32)
+    x[rng.rand(n, t) >= 0.35] = 0
+    x[:5, 15] = 1000.0  # one hot column
+    r = _runner(sp.csr_matrix(x), labels)
+    assert r._sampled_overflow_frac is not None
+    assert 0.0 < r._sampled_overflow_frac < 0.5
+    assert r.engine == "hist"
 
 
 def test_float64_sparse_routes_to_csort():
@@ -80,7 +101,7 @@ def test_float64_sparse_routes_to_csort():
     assert r.engine == "csort"
 
 
-def test_csort_rejects_device_resident_and_mesh():
+def test_csort_rejects_device_resident_and_cells_mesh():
     import jax
     import jax.numpy as jnp
 
@@ -88,12 +109,15 @@ def test_csort_rejects_device_resident_and_mesh():
     xn, labels = _normalized(rng, n=200, t=8)
     with pytest.raises(ValueError, match="host-resident"):
         _runner(jnp.asarray(xn), labels, engine="csort")
-    if len(jax.devices()) >= 2:
-        from illico_tpu.parallel.mesh import make_gene_mesh
+    if len(jax.devices()) >= 4:
+        # 1-D gene meshes are served (round-4 VERDICT item 2, see
+        # tests/parallel/test_sharding.py); only cell-axis sharding is
+        # structurally impossible for a rank engine.
+        from illico_tpu.parallel.cells import make_mesh_2d
 
-        with pytest.raises(ValueError, match="mesh"):
+        with pytest.raises(ValueError, match="cell"):
             _runner(sp.csr_matrix(xn), labels, engine="csort",
-                    mesh=make_gene_mesh(2))
+                    mesh=make_mesh_2d(2, 2))
 
 
 def test_csort_precompile_counters_and_run():

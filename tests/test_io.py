@@ -269,3 +269,54 @@ def test_native_build_failure_is_best_effort(monkeypatch):
                            np.asarray([[4.0]]))
     assert p.shape == (1, 1)
     monkeypatch.setattr(native, "_TRIED", False)  # let later tests rebuild
+
+
+def test_backed_csc_csort_never_densifies_tiles(tmp_path, monkeypatch):
+    """The compact-sort tier on backed CSC must stream O(window-nnz)
+    entries from disk, never a dense tile (round-4 VERDICT item 4;
+    reference ``utils/registry.py:171-188`` reads only nnz bytes)."""
+    from scipy import sparse
+
+    from illico_tpu.io.h5ad import read_h5ad
+    from illico_tpu.models.wilcoxon import WilcoxonRunner
+    from illico_tpu.utils.groups import encode_and_count_groups
+    from illico_tpu.utils.registry import (
+        data_handler_registry,
+        ensure_backed_handlers,
+    )
+
+    ensure_backed_handlers()
+    rng = np.random.RandomState(11)
+    n, t, g = 400, 12, 4
+    dense = rng.poisson(2.0, (n, t)).astype(np.float32)
+    dense[rng.rand(n, t) >= 0.3] = 0
+    labels = rng.randint(0, g, n)
+    labels[:g] = np.arange(g)
+    ad = AnnDataLite(sparse.csc_matrix(dense),
+                     pd.DataFrame({"g": labels.astype(str)}),
+                     pd.DataFrame(index=[f"v{i}" for i in range(t)]))
+    p = tmp_path / "x.h5ad"
+    ad.write_h5ad(p)
+    backed = read_h5ad(p, backed="r")
+
+    handler = data_handler_registry.get(backed.X)
+    _, info = encode_and_count_groups(labels.astype(str), "0")
+    runner = WilcoxonRunner(handler, info, is_log1p=False, engine="csort")
+
+    def _no_densify(lb, ub):  # engine-selection sampling already ran
+        raise AssertionError(
+            "csort on backed CSC densified a tile via fetch_tile"
+        )
+
+    monkeypatch.setattr(handler, "fetch_tile", _no_densify)
+    got = runner.run(progress=False)
+
+    eager = data_handler_registry.get(sparse.csc_matrix(dense))
+    want = WilcoxonRunner(eager, info, is_log1p=False, engine="csort").run(
+        progress=False
+    )
+    np.testing.assert_array_equal(got.statistics, want.statistics)
+    np.testing.assert_allclose(got.pvalues, want.pvalues, rtol=1e-12,
+                               atol=0.0)
+    np.testing.assert_allclose(got.fold_change, want.fold_change,
+                               rtol=1e-12)
