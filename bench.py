@@ -230,10 +230,13 @@ def make_device_data(n_cells, n_genes, n_groups, seed=0):
     # the exact executable the runner's engine-selection sampling reuses.
     # Without this, queued datagen work drains at the first timed pull and
     # bills to prewarm (or worse, run 1).
-    from illico_tpu.models.wilcoxon import _sampled_device_stats
+    from illico_tpu.models.wilcoxon import _sampled_device_stats_multi
 
     w = max(1, min(24, n_genes))
-    jax.device_get(_sampled_device_stats(X, 0, w, False))
+    starts = sorted({0, max(0, n_genes // 2 - w // 2), max(0, n_genes - w)})
+    jax.device_get(
+        _sampled_device_stats_multi(X, np.asarray(starts, np.int32), w, False)
+    )
     rng = np.random.RandomState(seed)
     labels = rng.randint(1, n_groups, n_cells)
     labels[rng.rand(n_cells) < 0.1] = 0  # 'non-targeting' control ~10%
@@ -325,8 +328,10 @@ def emit(best: float, metric="k562_scale_ovo_dense_seconds",
 
 def main():
     quick = "--quick" in sys.argv
+    # quick: 100 groups keeps every non-control group below 256 cells, so
+    # the smoke run exercises the SAME nnz-split OVO wire as the headline.
     n_cells, n_genes, n_groups = (
-        (20_000, 512, 50) if quick else (N_CELLS, N_GENES, N_GROUPS)
+        (20_000, 512, 100) if quick else (N_CELLS, N_GENES, N_GROUPS)
     )
 
     # Watchdog over the pre-first-emission phases: if jax init, data

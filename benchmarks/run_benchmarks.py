@@ -41,6 +41,17 @@ def main():
     )
     args = ap.parse_args()
 
+    import os
+
+    if args.cpu:
+        # 8 virtual devices for the mesh-overhead configs (must precede
+        # CPU client creation).
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
 
     if args.cpu:
@@ -100,6 +111,14 @@ def main():
         ("ovo-csort-normalized", xn_csr, groups_n, "auto", "non-targeting")
     )
     configs.append(("ovr-sort-normalized", xn_csr, groups_n, "sort", None))
+
+    # Mesh-overhead pair (round-4 VERDICT item 8): identical work on 1 vs
+    # 8 virtual CPU devices puts the gene-mesh path's sharding/collective
+    # overhead on record (run with --cpu [--quick]; skipped on the
+    # single-chip TPU backend).
+    if jax.default_backend() == "cpu" and len(jax.devices()) >= 8:
+        configs.append(("ovr-sort-mesh1", x, groups, "sort", None))
+        configs.append(("ovr-sort-mesh8", x, groups, "sort", None))
 
     payload = {
         "version": illico_tpu.__version__,
@@ -188,6 +207,8 @@ def main():
         )
         if name.endswith("fullscale"):
             kw["batch_size"] = "auto"  # the headline's 2048-wide tiles
+        if name.endswith("-mesh8"):
+            kw["devices"] = 8
         # Cold compiles are minutes; escalate with the retry attempt.
         _signal.alarm((900 if on_tpu else 600) + 600 * attempt)
         asymptotic_wilcoxon_arrays(xx, gg, **kw)  # warm-up/compile

@@ -42,6 +42,34 @@ CSORT_MAX_DENSITY = 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("w", "is_log1p"))
+def _sampled_device_stats_multi(x, starts, w: int, is_log1p: bool):
+    """Stacked window stats: ONE dispatch (and one result pull) for all
+    sample windows.
+
+    The tunnel charges ~150 ms latency per transferred array; three
+    sequential per-window pulls cost ~0.5 s of every timed public-API
+    call's runner setup (round-5 measurement).  ``starts`` is a traced
+    (n_windows,) vector so different window layouts share one executable.
+    """
+    import jax.numpy as jnp
+
+    def one(start):
+        t = jax.lax.dynamic_slice_in_dim(x, start, w, axis=1).astype(
+            jnp.float32
+        )
+        col_max = jnp.max(t, axis=0)
+        col_sum = jnp.sum(t, axis=0, dtype=jnp.float32)
+        col_nnz = jnp.sum((t != 0).astype(jnp.float32), axis=0)
+        if not is_log1p:
+            conforms = jnp.all((t == jnp.round(t)) & (t >= 0))
+            return jnp.max(t), col_max, col_sum, col_nnz, conforms
+        step = max(1, t.shape[0] // 4096)
+        return jnp.max(t), col_max, col_sum, col_nnz, t[::step]
+
+    return jax.lax.map(one, starts)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "is_log1p"))
 def _sampled_device_stats(x, start, w: int, is_log1p: bool):
     """(max, conformity evidence) of a ``w``-column window at a traced
     offset.
@@ -238,6 +266,7 @@ class WilcoxonRunner:
         self._sampled_conforms: bool | None = None
         self._sampled_density: float | None = None
         self._sampled_overflow_frac: float | None = None
+        self._sampled_colstats: tuple | None = None
         self._sampled_attempted: bool = False
         # Engine selection: the histogram engine is the fast path for count
         # data (raw or log1p); float64 inputs take the exact sort engine,
@@ -466,6 +495,7 @@ class WilcoxonRunner:
                 interpret=self._interpret,
                 v_buckets=self._v_buckets,
                 device=self.device,
+                fc_u8_hint=self._fc_u8_hint(),
             )
         elif engine == "csort":
             from illico_tpu.ops.csort_engine import make_csort_tile_fn
@@ -594,25 +624,37 @@ class WilcoxonRunner:
             )
             vmax, conforms = 0.0, True
             col_max: list[float] = []  # counts-space per-column maxima
+            col_sum: list[float] = []  # per-column value sums (fc-u8 hint)
+            col_nnz: list[float] = []  # per-column nonzero counts
+            rows_sampled = 0
             if self._device_resident:
-                # One jitted slice+stats executable, reused for all three
-                # windows (traced start index): warm processes hit the
-                # persistent compile cache instead of paying minutes-long
-                # eager compiles over a remote-compile link.  Raw counts:
-                # full-window device-side check (f32 round/compare are
-                # exact).  log1p: the device returns a sample slab and the
-                # host probes it with the table's numpy transcendentals.
-                for s in starts:
-                    m, cm, ev = _sampled_device_stats(
-                        self.handler.data, s, w, self.is_log1p
+                # One jitted stacked-window executable and ONE result pull
+                # for every window: warm processes hit the persistent
+                # compile cache instead of paying minutes-long eager
+                # compiles over a remote-compile link, and the ~150 ms
+                # per-pull tunnel latency is paid once, not per window.
+                # Raw counts: full-window device-side check (f32
+                # round/compare are exact).  log1p: the device returns
+                # sample slabs and the host probes them with the table's
+                # numpy transcendentals.
+                ms, cms, csums, cnnz, evs = jax.device_get(
+                    _sampled_device_stats_multi(
+                        self.handler.data,
+                        np.asarray(starts, np.int32),
+                        w, self.is_log1p,
                     )
-                    vmax = max(vmax, float(np.asarray(m)))
-                    col_max.extend(np.asarray(cm, np.float64).tolist())
-                    if self.is_log1p:
-                        ok = _conforms(np.asarray(ev).ravel())
-                    else:
-                        ok = bool(np.asarray(ev))
-                    conforms = conforms and ok
+                )
+                vmax = max(vmax, float(np.max(ms)))
+                col_max.extend(np.asarray(cms, np.float64).ravel().tolist())
+                col_sum.extend(np.asarray(csums, np.float64).ravel().tolist())
+                col_nnz.extend(np.asarray(cnnz, np.float64).ravel().tolist())
+                rows_sampled = int(self.handler.shape[0])
+                if self.is_log1p:
+                    conforms = conforms and _conforms(
+                        np.asarray(evs).ravel()
+                    )
+                else:
+                    conforms = conforms and bool(np.all(evs))
             else:
                 nz = tot = 0
                 for s in starts:
@@ -623,6 +665,15 @@ class WilcoxonRunner:
                     col_max.extend(
                         arr.max(axis=0).astype(np.float64).tolist()
                     )
+                    col_sum.extend(
+                        arr.sum(axis=0, dtype=np.float64).tolist()
+                    )
+                    col_nnz.extend(
+                        np.count_nonzero(arr, axis=0).astype(
+                            np.float64
+                        ).tolist()
+                    )
+                    rows_sampled = int(arr.shape[0])
                     # cap sampled values: O(100k) per window
                     step = max(1, arr.size // 100_000)
                     vals = arr.ravel()[::step].astype(np.float32)
@@ -650,6 +701,12 @@ class WilcoxonRunner:
                 self._sampled_overflow_frac = float(
                     np.mean(cm >= MAX_V - 1)
                 )
+            if col_sum and rows_sampled:
+                self._sampled_colstats = (
+                    np.asarray(col_sum, np.float64),
+                    np.asarray(col_nnz, np.float64),
+                    rows_sampled,
+                )
         except Exception:  # sampling must never break the run
             self._sampled_attempted = True
             self._sampled_vmax, self._sampled_conforms = None, True
@@ -657,6 +714,38 @@ class WilcoxonRunner:
         self._sampled_attempted = True
         self._sampled_vmax, self._sampled_conforms = vmax, conforms
         return vmax, conforms
+
+    def _fc_u8_hint(self) -> bool:
+        """Should the fc-residual uint8 tier engage? (hist nnz-split only.)
+
+        fc_res[g, j] = sum of (value - 1) over group g's nonzeros in
+        column j ~ k * (mean_nonzero - 1).  Estimated per sampled column
+        from (nonzero fraction) * (largest non-ref group) * (mean nonzero
+        value); if more than ~5% of columns look at risk of exceeding
+        uint8, keep the 2-byte tier — a wrong True only costs sort-engine
+        fallback columns (exceptions + overflow flags keep exactness),
+        but a systematic storm of them would be slower than the 1 B/test
+        the tier saves.  Raw counts only: log1p sampling sees log-space
+        sums, so the estimate would be unreliable there.
+        """
+        if (
+            self.is_log1p
+            or not self._sampled_conforms
+            or self._sampled_colstats is None
+            or self.info.ref_code < 0
+        ):
+            return False
+        col_sum, col_nnz, rows = self._sampled_colstats
+        counts = np.asarray(self.info.counts, np.float64)
+        others = np.delete(counts, self.info.ref_code)
+        if not others.size:
+            return False
+        m_max = float(others.max())
+        nnz = np.maximum(col_nnz, 1.0)
+        mean_nz = col_sum / nnz
+        est = (mean_nz - 1.0) * (col_nnz / rows) * m_max
+        unsafe = 1.6 * est + 48.0 > 255.0
+        return bool(np.mean(unsafe) < 0.05)
 
     def _pick_v_buckets(self) -> int:
         """Size the histogram value table from a cheap data sample.

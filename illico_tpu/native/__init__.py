@@ -144,6 +144,30 @@ def _bind(path: Path):
         ctypes.POINTER(ctypes.c_double),  # p_out
         ctypes.c_int32,                   # n_threads
     ]
+    ck = lib.illico_consume_tile_ksplit
+    ck.restype = None
+    ck.argtypes = [
+        ctypes.c_void_p,                  # k (uint8)
+        ctypes.c_void_p, ctypes.c_int32,  # u2_res
+        ctypes.c_void_p, ctypes.c_int32,  # tie_res
+        ctypes.c_void_p, ctypes.c_int32,  # fc_sums / fc_res
+        ctypes.c_int32,                   # fc_is_res
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,  # fc_split_col
+        ctypes.c_void_p, ctypes.c_int32,  # tie_ref_col
+        ctypes.c_void_p, ctypes.c_int32,  # ref_nnz_col
+        ctypes.c_void_p, ctypes.c_int32,  # tie_base_col
+        ctypes.c_void_p,                  # exc_key (uint32)
+        ctypes.c_void_p, ctypes.c_int32,  # exc_val
+        ctypes.c_int64,                   # n_exc
+        ctypes.POINTER(ctypes.c_double),  # counts
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # G, T, w
+        ctypes.c_int64,                   # ref_code
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # alt/contin/tie
+        ctypes.POINTER(ctypes.c_double),  # results
+        ctypes.c_int64, ctypes.c_int64,   # col0, n_genes
+        ctypes.POINTER(ctypes.c_double),  # col_scratch
+        ctypes.c_int32,                   # n_threads
+    ]
     ct = lib.illico_consume_tile
     ct.restype = None
     ct.argtypes = [
@@ -167,7 +191,7 @@ def _bind(path: Path):
 
 # dtype encodings of illico_consume_tile (keep in sync with _tail.cpp)
 (_DT_F32, _DT_I32, _DT_F64_HILO, _DT_F64, _DT_U16, _DT_F48, _DT_U24,
- _DT_U32, _DT_U40, _DT_F96) = range(10)
+ _DT_U32, _DT_U40, _DT_F96, _DT_U8) = range(11)
 
 
 def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: int):
@@ -186,6 +210,8 @@ def _encode_packed(buf: np.ndarray, shape, dtype: np.dtype, off: int, nbytes: in
         return ptr, _DT_I32
     if dtype == np.uint16 and nbytes == 2 * size:
         return ptr, _DT_U16
+    if dtype == np.uint8 and nbytes == size:
+        return ptr, _DT_U8
     if dtype == np.uint32:
         if nbytes == 3 * size:
             return ptr, _DT_U24
@@ -232,6 +258,11 @@ def consume_tile_native(
     lib = _load()
     if lib is None or alternative not in _ALTERNATIVES:
         return False
+    if "k" in spec:  # nnz-split OVO wire
+        return _consume_ksplit(
+            lib, buf, spec, counts, ref_code, w, alternative,
+            use_continuity, tie_correct, results, col0, fc_split_code,
+        )
     is_ovr = ref_code < 0
     u2_key = "R2" if is_ovr else "U2"
     tie_col_key = "tie_col" if is_ovr else "tie_ref_col"
@@ -284,6 +315,83 @@ def consume_tile_native(
         ctypes.c_int64(fc_split_code),
         ctypes.c_void_p(ts_p), ctypes.c_int32(ts_d),
         ctypes.c_void_p(tc_p), ctypes.c_int32(tc_d),
+        counts.ctypes.data_as(dp),
+        ctypes.c_int64(G), ctypes.c_int64(T), ctypes.c_int64(w),
+        ctypes.c_int64(ref_code),
+        ctypes.c_int32(_ALTERNATIVES[alternative]),
+        ctypes.c_int32(1 if use_continuity else 0),
+        ctypes.c_int32(1 if tie_correct else 0),
+        results.ctypes.data_as(dp),
+        ctypes.c_int64(col0), ctypes.c_int64(results.shape[1]),
+        scratch.ctypes.data_as(dp),
+        ctypes.c_int32(_tail_threads()),
+    )
+    return True
+
+
+def _consume_ksplit(
+    lib, buf, spec, counts, ref_code, w, alternative, use_continuity,
+    tie_correct, results, col0, fc_split_code,
+) -> bool:
+    """Dispatch the nnz-split OVO wire to illico_consume_tile_ksplit."""
+    needed = {
+        "k", "u2_res", "tie_res", "tie_ref_col", "ref_nnz_col",
+        "tie_base_col", "exc_key", "exc_val",
+    }
+    fc_is_res = "fc_res" in spec
+    needed.add("fc_res" if fc_is_res else "fc_sums")
+    if not needed <= spec.keys() or ref_code < 0:
+        return False
+    if fc_split_code >= 0 and "fc_split_col" not in spec:
+        return False
+    if not (buf.flags.c_contiguous and results.flags.c_contiguous):
+        return False
+
+    G, T = spec["k"][0]
+    n_exc = spec["exc_key"][0][0]
+    counts = np.ascontiguousarray(counts, dtype=np.float64)
+    scratch = np.empty(max(int(w), 1), np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def enc(key):
+        shape, dtype, off, nbytes = spec[key]
+        return _encode_packed(buf, shape, dtype, off, nbytes)
+
+    try:
+        k_shape, k_dtype, k_off, k_nbytes = spec["k"]
+        if k_dtype != np.uint8 or k_nbytes != int(np.prod(k_shape)):
+            return False
+        u2_p, u2_d = enc("u2_res")
+        tr_p, tr_d = enc("tie_res")
+        fc_p, fc_d = enc("fc_res" if fc_is_res else "fc_sums")
+        tc_p, tc_d = enc("tie_ref_col")
+        rn_p, rn_d = enc("ref_nnz_col")
+        tb_p, tb_d = enc("tie_base_col")
+        ek_shape, ek_dtype, ek_off, ek_nbytes = spec["exc_key"]
+        if ek_dtype != np.uint32 or ek_nbytes != 4 * int(np.prod(ek_shape)):
+            return False
+        ev_p, ev_d = enc("exc_val")
+        if fc_split_code >= 0:
+            fs_p, fs_d = enc("fc_split_col")
+        else:
+            fs_p, fs_d = 0, _DT_U32
+    except ValueError:
+        return False
+
+    lib.illico_consume_tile_ksplit(
+        ctypes.c_void_p(buf.ctypes.data + k_off),
+        ctypes.c_void_p(u2_p), ctypes.c_int32(u2_d),
+        ctypes.c_void_p(tr_p), ctypes.c_int32(tr_d),
+        ctypes.c_void_p(fc_p), ctypes.c_int32(fc_d),
+        ctypes.c_int32(1 if fc_is_res else 0),
+        ctypes.c_void_p(fs_p), ctypes.c_int32(fs_d),
+        ctypes.c_int64(fc_split_code),
+        ctypes.c_void_p(tc_p), ctypes.c_int32(tc_d),
+        ctypes.c_void_p(rn_p), ctypes.c_int32(rn_d),
+        ctypes.c_void_p(tb_p), ctypes.c_int32(tb_d),
+        ctypes.c_void_p(buf.ctypes.data + ek_off),
+        ctypes.c_void_p(ev_p), ctypes.c_int32(ev_d),
+        ctypes.c_int64(n_exc),
         counts.ctypes.data_as(dp),
         ctypes.c_int64(G), ctypes.c_int64(T), ctypes.c_int64(w),
         ctypes.c_int64(ref_code),

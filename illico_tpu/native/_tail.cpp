@@ -13,6 +13,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <vector>
 
 namespace {
 constexpr double kSqrt2 = 1.4142135623730951;
@@ -88,6 +89,11 @@ void illico_pvalue_tail(
 
 // ---------------------------------------------------------------------------
 // Fused tile consumer: packed device buffer -> final (p, U, fc) triples.
+// A second entry point (illico_consume_tile_ksplit, below) serves the
+// nnz-split OVO wire, which replaces the (G, T) U2/tie_seg arrays with
+// per-(group, column) nonzero counts plus narrow residuals and a small
+// per-column exception buffer (see illico_tpu/ops/hist_engine.py,
+// NNZ_SPLIT_SLOTS block).
 //
 // One pass over a tile's statistics, writing straight into the caller's
 // (n_groups, n_genes, 3) result buffer.  Replaces ~8 numpy passes (dtype
@@ -143,6 +149,8 @@ inline double decode(const void* p, int32_t dtype, int64_t idx, int64_t n) {
     }
     case 7:
       return static_cast<double>(static_cast<const uint32_t*>(p)[idx]);
+    case 10:
+      return static_cast<double>(static_cast<const uint8_t*>(p)[idx]);
     case 8: {
       const uint32_t* lo = static_cast<const uint32_t*>(p);
       const uint8_t* hi = reinterpret_cast<const uint8_t*>(lo + n);
@@ -290,6 +298,137 @@ void illico_consume_tile(
       row[j * 3 + 1] = u;
       row[j * 3 + 2] =
           mu_ref == 0.0 ? HUGE_VAL : mu_tgt / mu_ref;
+    }
+  }
+}
+
+// nnz-split OVO consumer.  Per (g, j) the wire carries the nonzero count
+// k (uint8), U2_nz (uint16) and the biased tie residual (u24); the zero
+// bucket is rebuilt in closed form from a0 = R - ref_nnz[j] and
+// h0 = n_g - k (exact-integer float64, bounds proven at engagement).
+// Entries outside their narrow range arrive exactly in the (S, T)
+// exception slots (key = (array id << 24) | group, value biased by 2^52;
+// key 0xFFFFFFFF = empty); columns with more than S violators were
+// flagged in overflow_cols by the device and are recomputed by the
+// caller's sort-engine fallback, so their values here are don't-care.
+void illico_consume_tile_ksplit(
+    const void* k8,  // (G, T) uint8 nonzero counts (ref row zeroed)
+    const void* u2res, int32_t u2res_dtype,
+    const void* tieres, int32_t tieres_dtype,
+    const void* fc_sums, int32_t fc_dtype,
+    int32_t fc_is_res,  // 1: fc_sums holds fc - k (uint8 tier); add k back
+    const void* fc_split_col, int32_t fc_split_dtype, int64_t fc_split_code,
+    const void* tie_ref_col, int32_t tie_ref_dtype,
+    const void* ref_nnz_col, int32_t ref_nnz_dtype,
+    const void* tie_base_col, int32_t tie_base_dtype,
+    const void* exc_key,  // (S, T) uint32
+    const void* exc_val, int32_t exc_val_dtype,
+    int64_t n_exc,
+    const double* counts,
+    int64_t G, int64_t T, int64_t w,
+    int64_t ref_code,
+    int32_t alternative, int32_t use_continuity, int32_t tie_correct,
+    double* results, int64_t col0, int64_t n_genes,
+    double* col_scratch,  // (w,) workspace: per-column reference fc mean
+    int32_t n_threads) {
+  (void)n_threads;
+  const double contin = use_continuity ? 0.5 : 0.0;
+  const int64_t GT = G * T;
+  const uint8_t* kk = static_cast<const uint8_t*>(k8);
+  const uint32_t* ek = static_cast<const uint32_t*>(exc_key);
+  constexpr double kTieBias = 8388608.0;  // 2^23
+
+  const double nref_cells = counts[ref_code];
+  for (int64_t j = 0; j < w; ++j)
+    col_scratch[j] =
+        (fc_split_code == ref_code
+             ? decode(fc_split_col, fc_split_dtype, j, T)
+             : decode(fc_sums, fc_dtype, ref_code * T + j, GT)) /
+        nref_cells;
+
+  // Per-column scalars, decoded once.
+  std::vector<double> a0(w), dslope(w), tieref(w);
+  for (int64_t j = 0; j < w; ++j) {
+    a0[j] = nref_cells - decode(ref_nnz_col, ref_nnz_dtype, j, T);
+    dslope[j] = decode(tie_base_col, tie_base_dtype, j, T);
+    tieref[j] = decode(tie_ref_col, tie_ref_dtype, j, T);
+  }
+
+  // One full cell, recomputed from (possibly exception-corrected) u2_nz,
+  // tie residual and fc value.  Shared by the main loop and the fix-up
+  // pass.  ``fcv`` is the decoded fc entry (residual when fc_is_res).
+  auto emit = [&](int64_t g, int64_t j, double u2nz, double resid,
+                  double fcv) {
+    const double nt = counts[g];
+    const double nr = nref_cells;
+    const double mu = nr * nt / 2.0;
+    const double n = nr + nt;
+    const double k_gj = static_cast<double>(kk[g * T + j]);
+    const double h0 = nt - k_gj;
+    const double u2 = a0[j] * (nt + k_gj) + u2nz;
+    const double u = nr * nt - 0.5 * u2;
+    double tie = 0.0;
+    if (tie_correct) {
+      tie = tieref[j] + 3.0 * a0[j] * h0 * (a0[j] + h0) + h0 * h0 * h0 -
+            h0 + dslope[j] * k_gj + resid;
+    }
+    double s;
+    if (g == fc_split_code) {
+      s = decode(fc_split_col, fc_split_dtype, j, T);
+    } else {
+      s = fcv + (fc_is_res ? k_gj : 0.0);
+    }
+    const double mu_ref = col_scratch[j];
+    double* cell = results + (g * n_genes + col0 + j) * 3;
+    cell[0] = pval(u, tie, nr, nt, mu, n * (n - 1.0) * (n + 1.0), contin,
+                   alternative);
+    cell[1] = u;
+    cell[2] = mu_ref == 0.0 ? HUGE_VAL : (s / nt) / mu_ref;
+  };
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) num_threads(n_threads) \
+    if (n_threads > 1)
+#endif
+  for (int64_t g = 0; g < G; ++g) {
+    for (int64_t j = 0; j < w; ++j) {
+      const double u2nz = decode(u2res, u2res_dtype, g * T + j, GT);
+      const double resid =
+          decode(tieres, tieres_dtype, g * T + j, GT) - kTieBias;
+      const double fcv = decode(fc_sums, fc_dtype, g * T + j, GT);
+      emit(g, j, u2nz, resid, fcv);
+    }
+  }
+
+  // Exception fix-up (serial; a handful of cells per column).  For each
+  // excepted cell, re-read BOTH components — either may have its own
+  // exception in this column — then re-emit.  Duplicate re-emits of the
+  // same cell are idempotent.
+  for (int64_t j = 0; j < w; ++j) {
+    for (int64_t s = 0; s < n_exc; ++s) {
+      const uint32_t key = ek[s * T + j];
+      if (key == 0xFFFFFFFFu) continue;
+      const int64_t g = static_cast<int64_t>(key & 0xFFFFFFu);
+      if (g >= G) continue;  // corrupt key: leave the cell as decoded
+      double u2nz = decode(u2res, u2res_dtype, g * T + j, GT);
+      double resid = decode(tieres, tieres_dtype, g * T + j, GT) - kTieBias;
+      double fcv = decode(fc_sums, fc_dtype, g * T + j, GT);
+      for (int64_t s2 = 0; s2 < n_exc; ++s2) {
+        const uint32_t key2 = ek[s2 * T + j];
+        if (key2 == 0xFFFFFFFFu) continue;
+        if (static_cast<int64_t>(key2 & 0xFFFFFFu) != g) continue;
+        const double v = decode(exc_val, exc_val_dtype, s2 * T + j,
+                                n_exc * T);
+        const uint32_t aid = key2 >> 24;
+        if (aid == 0u) {
+          u2nz = v;
+        } else if (aid == 1u) {
+          resid = v;
+        } else {
+          fcv = v;
+        }
+      }
+      emit(g, j, u2nz, resid, fcv);
     }
   }
 }

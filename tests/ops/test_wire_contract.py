@@ -62,7 +62,56 @@ def test_ovo_headline_statics_snapshot(k562_layout):
     assert s["fc_split_code"] == info.ref_code
     assert s["fc_dtype"] == "uint16"
     assert s["u2_split_code"] == -1  # OVO never splits U2
-    assert _bulk_wire_bytes(s) == 10  # 3 + 5 + 2: the README number
+    # nnz-split wire engages (every perturbation group < 256 cells, tie
+    # tier u40): the effective bulk is k(1) + u2_res(2) + tie_res(3) +
+    # fc(2) = 8 B/test, replacing the 10 B/test u2/tie/fc tiers above
+    # (round-4 VERDICT item 1 — the OVO wire was the open perf gap).
+    assert s["nnz_split"] is True
+    assert _bulk_wire_bytes(s) == 10  # the tiers nnz_split supersedes
+
+
+def test_ovo_headline_packed_bytes_per_test(k562_layout):
+    """End-to-end packed size at the headline shape: ~8.2 B/test."""
+    import jax
+
+    layout, info = k562_layout
+    statics = dict(
+        n_pad=float(layout.n_pad), is_log1p=False,
+        **he.hist_contract_statics(layout, info.ref_code, he.DEFAULT_V),
+    )
+    t_pad = 2048
+    hist_spec = jax.ShapeDtypeStruct(
+        (layout.n_groups, he.DEFAULT_V, t_pad), np.float32
+    )
+    ppg_spec = jax.ShapeDtypeStruct((layout.n_groups,), np.int32)
+    import functools
+
+    with jax.enable_x64(True):
+        abstract = jax.eval_shape(
+            functools.partial(he.hist_contract, **statics, pack=False),
+            hist_spec, ppg_spec,
+        )
+    spec = he.build_pack_spec(abstract, he._narrow_map(statics))
+    per_test = he.spec_total_bytes(spec) / (layout.n_groups * t_pad)
+    assert 8.0 <= per_test <= 8.35, per_test
+
+    # With the sampling-gated fc-residual uint8 tier (what bench.py's
+    # Poisson counts engage): ~7.2 B/test.
+    statics8 = dict(
+        n_pad=float(layout.n_pad), is_log1p=False,
+        **he.hist_contract_statics(
+            layout, info.ref_code, he.DEFAULT_V, fc_u8_hint=True
+        ),
+    )
+    assert statics8["fc_u8"] is True
+    with jax.enable_x64(True):
+        abstract8 = jax.eval_shape(
+            functools.partial(he.hist_contract, **statics8, pack=False),
+            hist_spec, ppg_spec,
+        )
+    spec8 = he.build_pack_spec(abstract8, he._narrow_map(statics8))
+    per_test8 = he.spec_total_bytes(spec8) / (layout.n_groups * t_pad)
+    assert 7.0 <= per_test8 <= 7.35, per_test8
 
 
 def test_ovr_headline_statics_snapshot(k562_layout):

@@ -77,9 +77,11 @@ def test_run_benchmarks_resumes_partial_results(tmp_path):
     saved = json.loads(out.read_text())
     byname = {rec["name"]: rec for rec in saved["results"]}
     assert byname["ovo-hist"]["min_s"] == 123.456  # kept, not re-measured
-    # 4 engine x test + heavytail + 3 normalized-data configs (the
-    # full-scale pair is TPU-only and absent on the CPU backend).
-    assert saved["complete"] and len(byname) == 8
+    # 4 engine x test + heavytail + 3 normalized-data + 2
+    # mesh-overhead configs (the full-scale pair is TPU-only and absent
+    # on the CPU backend).
+    assert saved["complete"] and len(byname) == 10
+    assert {"ovr-sort-mesh1", "ovr-sort-mesh8"} <= byname.keys()
     assert "kept from previous attempt" in r.stderr
 
 

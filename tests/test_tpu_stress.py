@@ -180,4 +180,52 @@ def test_randomized_tpu_stress():
                 assert abs(got["p_value"] - rr.pvalue) <= 1e-12 * rr.pvalue
                 n_checked += 1
     print(f"tall-f96 trial: n={n} t={t} ovo+ovr OK", flush=True)
+
+    # Deterministic nnz-split (ksplit) trial (round-5): big control +
+    # sub-256 perturbation groups engages the k/u2_res/tie_res wire; two
+    # adversarial columns force exception-slot traffic and one overflows
+    # the 24-slot buffer outright (sort-engine fallback column).  The
+    # f64->uint8/uint16/uint24 casts, the exception payload sort, and the
+    # f96 exception values must all be exact under the double-double x64
+    # emulation — precisely the class of behavior CPU interpret mode
+    # cannot witness.
+    r = np.random.RandomState(23)
+    n_ref, g_other, n_per, t = 40_000, 60, 120, 67  # t NOT 128-aligned
+    labels = np.concatenate(
+        [np.zeros(n_ref, int), 1 + np.arange(g_other).repeat(n_per)]
+    )
+    r.shuffle(labels)
+    counts = r.poisson(2.0, (labels.size, t)).astype(np.float64)
+    counts[r.rand(labels.size, t) >= 0.12] = 0
+    enc = np.array([f"g{v:03d}" for v in labels])
+    for gg2 in range(1, 40):
+        counts[np.flatnonzero(labels == gg2), 5] = 2.0  # >24 violators
+    counts[np.flatnonzero(labels == 7)[:100], 11] = 3.0  # a few exceptions
+    x = counts.astype(np.float32)
+    from illico_tpu.ops.hist_engine import hist_contract_statics
+    from illico_tpu.ops.rank_engine import build_padded_layout
+
+    _, info_k = encode_and_count_groups(enc, "g000")
+    lay_k = build_padded_layout(info_k.perm, info_k.indptr)
+    assert hist_contract_statics(lay_k, info_k.ref_code, 128)["nnz_split"]
+    df = asymptotic_wilcoxon_arrays(
+        x, enc, is_log1p=False, reference="g000", progress=False,
+        engine="hist",
+    )
+    xd = x.astype(np.float64)
+    base = labels == 0
+    for gr, jj in (("g007", 11), ("g003", 5), ("g020", 5), ("g013", 0),
+                   ("g055", 66)):
+        tgt = labels == int(gr[1:])
+        rr = stats.mannwhitneyu(
+            xd[base, jj], xd[tgt, jj],
+            alternative="two-sided", method="asymptotic",
+        )
+        got = df.loc[(gr, f"gene_{jj}")]
+        assert got["statistic"] == rr.statistic, ("ksplit", gr, jj)
+        assert abs(got["p_value"] - rr.pvalue) <= 1e-12 * rr.pvalue, (
+            "ksplit", gr, jj, got["p_value"], rr.pvalue,
+        )
+        n_checked += 1
+    print("ksplit trial: n=47200 t=67 ovo OK", flush=True)
     print(f"STRESS PASS: {n_checked} checks in {time.time()-t_start:.0f}s")
