@@ -264,6 +264,15 @@ def _prewarm(X, groups, reference="non-targeting"):
     _, info = encode_and_count_groups(groups, reference)
     runner = WilcoxonRunner(handler, info, is_log1p=False)
     runner.precompile()
+    # Warm dispatch: one end-to-end tile (dispatch + result pull).  The
+    # first dispatch of a compiled program pays its device load over the
+    # tunnel (~60-160 s at full scale, SKILL.md); without this it bills
+    # to timed run 1 — the draw a bounded harness budget is guaranteed
+    # to capture (observed: 61 s run 1 on 2026-08-21).
+    import jax
+
+    lb, ub = runner.bounds[0]
+    jax.device_get(runner._run_tile(runner._fetch(lb, ub)))
     return runner
 
 
