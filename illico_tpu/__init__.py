@@ -19,7 +19,7 @@ __all__ = [
     "asymptotic_wilcoxon_multihost",
     "enable_compilation_cache",
 ]
-__version__ = "0.1.7"
+__version__ = "0.1.8"
 
 
 def __getattr__(name):
