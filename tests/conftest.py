@@ -24,6 +24,14 @@ import jax
 # sharding tests then skip).
 if not os.environ.get("ILLICO_TPU_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Real-TPU suite runs compile through a remote service with bad
+    # phases (round-5: 0.27 tests/min cold vs ~5/min warm); the
+    # persistent cache makes every repeated shape — the parametrized
+    # sweeps reuse a handful — compile once per host lifetime.
+    import illico_tpu
+
+    illico_tpu.enable_compilation_cache()
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
