@@ -168,6 +168,13 @@ def test_fuzz_soak():
         else:
             x = x.astype(dtype)
         labels = rng.randint(0, g, n)
+        if rng.randint(3) == 0 and mode == "ovo" and g >= 3:
+            # Perturbation-screen population: a dominant control and
+            # small perturbation groups — the regime that engages the
+            # nnz-split OVO wire (every non-ref group < 256 cells needs
+            # n/g small enough; the skew pushes the tie tier into
+            # u40/f48 territory where the split is live).
+            labels[rng.rand(n) < 0.7] = 0
         labels[:g] = np.arange(g)
         groups = np.array([f"g{v}" for v in labels])
 
